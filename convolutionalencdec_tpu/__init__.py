@@ -1,0 +1,44 @@
+"""convolutionalencdec_tpu — a TPU-native FEC framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+ucb-cyarp/ConvolutionalEncDec: rate-k/n convolutional encoding and
+hard/soft-decision Viterbi decoding, built for batched multi-channel
+throughput on TPU vector units, with multi-chip scaling via jax.sharding.
+"""
+
+from .params import (
+    CodeSpec,
+    K5_23_35,
+    K9_561_753,
+    NASA_K7,
+    NASA_K7_R13,
+    REF_K7,
+    TOY_K3,
+)
+from .ops.encode import encode_bits, encode_bytes
+from .ops.viterbi import (
+    viterbi_decode,
+    viterbi_decode_stream,
+    viterbi_forward,
+    viterbi_forward_butterfly,
+    traceback_terminated,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CodeSpec",
+    "NASA_K7",
+    "NASA_K7_R13",
+    "REF_K7",
+    "TOY_K3",
+    "K5_23_35",
+    "K9_561_753",
+    "encode_bits",
+    "encode_bytes",
+    "viterbi_decode",
+    "viterbi_decode_stream",
+    "viterbi_forward",
+    "viterbi_forward_butterfly",
+    "traceback_terminated",
+]
