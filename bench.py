@@ -1,0 +1,81 @@
+"""Headline throughput bench — speedDecode's TPU equivalent.
+
+Methodology mirrors the reference's speed harness (speedDecode.c:41-116):
+pre-encode a warm working set, run the decoder in steady state, report
+Mbit/s of decoded (uncoded-side) bits.  On TPU the working set is a batch
+of independent channels resident in HBM and the decoder is the Pallas
+butterfly kernel; the baseline to beat is the reference's measured
+~23.5 Mbit/s single-core decode rate (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "decode_throughput", "value": N, "unit": "Mbit/s",
+   "vs_baseline": N / 23.5}
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import convolutionalencdec_tpu as fec  # noqa: E402
+
+BASELINE_MBPS = 23.5  # reference speedDecode on 1 vCPU (BASELINE.md)
+
+
+def main():
+    spec = fec.NASA_K7
+    on_tpu = jax.default_backend() == "tpu"
+    # Working set: B channels x L-bit packets (the reference uses 16 x
+    # 2048-bit packets, speedDecode.c:55-60; the TPU build's unit of work
+    # is a batch of channels).
+    B = 1024 if on_tpu else 128
+    L = 2048
+    rng = np.random.default_rng(9865)
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.03
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    coded_dev = jax.device_put(jnp.asarray(coded))
+
+    if on_tpu:
+        from convolutionalencdec_tpu.kernels import viterbi_decode_batch
+        decode = lambda c: viterbi_decode_batch(spec, c)  # noqa: E731
+    else:
+        decode = jax.jit(jax.vmap(lambda c: fec.viterbi_decode(spec, c)))
+
+    # Warm-up / compile (first TPU compile ~20-40 s).
+    out = decode(coded_dev)
+    out.block_until_ready()
+    # At 3% segment corruption a small residual BER survives (correctly);
+    # a broken decoder is off by orders of magnitude.
+    ber = float((np.asarray(out) != msgs).mean())
+    assert ber < 2e-3, f"decode BER {ber} implausibly high in bench"
+
+    # Steady state: aim for ~3 s of work.
+    iters = 2
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = decode(coded_dev)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        if dt > 1.5:
+            break
+        iters *= 4
+
+    mbps = (B * L * iters) / dt / 1e6
+    print(json.dumps({
+        "metric": "decode_throughput",
+        "value": round(mbps, 2),
+        "unit": "Mbit/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

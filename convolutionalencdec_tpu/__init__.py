@@ -23,6 +23,14 @@ from .ops.viterbi import (
     viterbi_forward_butterfly,
     traceback_terminated,
 )
+from .ops.metrics import (
+    quantize_llrs,
+    viterbi_decode_soft,
+)
+from .ops import channel, metrics, puncture
+
+# Subpackages imported lazily by most callers; exposed for discoverability.
+from . import kernels, parallel, harness
 
 __version__ = "0.1.0"
 
@@ -41,4 +49,12 @@ __all__ = [
     "viterbi_forward",
     "viterbi_forward_butterfly",
     "traceback_terminated",
+    "viterbi_decode_soft",
+    "quantize_llrs",
+    "channel",
+    "metrics",
+    "puncture",
+    "kernels",
+    "parallel",
+    "harness",
 ]

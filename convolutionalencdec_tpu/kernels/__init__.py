@@ -1,0 +1,18 @@
+"""Pallas TPU kernels — the framework's hot compute path.
+
+These are the TPU-native equivalents of the reference's hand-vectorized C
+hot loops (viterbiDecoderButterflyk1.c): the batched butterfly ACS forward
+pass and the one-hot select-network traceback.
+"""
+
+from .acs_pallas import (
+    viterbi_decode_batch,
+    acs_forward_batch,
+    traceback_batch,
+)
+
+__all__ = [
+    "viterbi_decode_batch",
+    "acs_forward_batch",
+    "traceback_batch",
+]

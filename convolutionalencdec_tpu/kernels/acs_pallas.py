@@ -1,0 +1,359 @@
+"""Batched butterfly Viterbi — Pallas TPU kernels.
+
+TPU-native re-design of the reference's hot loops: the k=1 butterfly ACS
+forward pass (viterbiDecoderButterflyk1.c:82-196) and the deferred block
+traceback (viterbiDecoderButterflyk1.c:200-260).  The reference reaches
+speed through clang autovectorization of one serial stream
+(viterbiDecoderButterflyk1.c:126-131); the TPU design instead keeps the
+serial time recurrence but batches ~10^3 independent channels across the
+VPU's 8x128 lanes, the scaling story SURVEY.md §2 lays out.
+
+Data layout (the load-bearing decisions):
+
+  * Path metrics live in a VMEM scratch buffer shaped (NUM_STATES, B_TILE)
+    — states on sublanes, channels on lanes — and persist across the whole
+    packet (the Pallas grid is sequential per core, so scratch carries the
+    ACS recurrence between time-chunks, like the reference's nodeMetricsA
+    carried across iterations).
+  * Metrics are narrow integers with periodic renormalization, the
+    reference's k=1 specialization (viterbiDecoder.h:47-51, renorm at
+    viterbiDecoderButterflyk1.c:159-183): every 8-step group the running
+    minimum is subtracted so the metrics never wrap (spread after renorm
+    is bounded by n*S, growth per group by 8n).  Compute dtype is int16 —
+    the narrowest Mosaic vector-ALU type — packing 2x more channels per
+    register than int32; HBM-resident arrays stay uint8.
+  * Decisions are bit-packed over TIME: 8 trellis steps per uint8, stored
+    as [T/8, NUM_STATES, B] in "butterfly order" — row r < NS/2 is
+    destination state 2r, row r >= NS/2 is destination 2r+1 - NS.  This
+    order is what the ACS naturally produces (even/odd destinations) and
+    what the traceback naturally consumes, so neither pass pays a shuffle
+    for it.  The reference stores one decision byte per state per step
+    (viterbiDecoder.h:139-145); packing 8x cuts HBM traffic to 8 bytes per
+    decoded bit per channel.
+  * Traceback carries the current state as a ONE-HOT (NUM_STATES, B) uint8
+    vector and replaces the reference's per-step state-indexed load
+    (viterbiDecoderButterflyk1.c:239-247) with a select-network: TPUs hate
+    data-dependent gathers (SURVEY.md §7 hard-part b), but a masked
+    sum over 64 sublanes is pure VPU work and vectorizes over all channels
+    at once.
+
+Both kernels run under `interpret=True` on CPU for the test suite and
+compile with Mosaic on real TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import CodeSpec
+from ..ops.trellis import butterfly_coded_bits
+from ..ops.viterbi import init_metric_value
+
+# Trellis steps per grid program.  Must be a multiple of PACK (time-packing
+# granularity).  The kernel body is fully unrolled (static VMEM indices are
+# the only kind Mosaic lowers well for int8 blocks), so CHUNK trades
+# per-program code size / compile time against grid-iteration overhead;
+# 32 compiles in ~a minute remotely where 128 took >10.
+CHUNK = 32
+PACK = 8          # decision bits packed per byte along time
+B_TILE = 128      # channels per lane tile
+
+# In-kernel arithmetic dtype.  Mosaic's vector ALUs support only i16/i32
+# arithmetic (no i8 math), so metrics/one-hots compute in int16 — two
+# values per 32-bit lane — and uint8 is used only for HBM-resident data
+# (segments in, packed decisions, packed bits out).
+COMPUTE_DTYPE = jnp.int32
+
+
+def _fwd_kernel(spec: CodeSpec, nt: int):
+    """Build the forward ACS kernel body for a given code."""
+    NS = spec.num_states
+    HALF = NS // 2
+    n = spec.n
+    init_hi = init_metric_value(spec)
+
+    def kernel(cb_ref, seg_ref, dec_ref, m_ref):
+        # cb_ref:  (HALF, B) uint8 butterfly reference segments (broadcast
+        #          along lanes; the trellis table derived from the encoder,
+        #          viterbiDecoderButterflyk1.c:20-29)
+        # seg_ref: (CHUNK, B) uint8 coded segments for this time-chunk
+        # dec_ref: (CHUNK//PACK, NS, B) uint8 packed decisions (butterfly
+        #          order, bit j of row g = step g*PACK + j)
+        # m_ref:   (NS, B) COMPUTE_DTYPE path-metric scratch, persists
+        #          across chunks.  Mosaic vector ALUs handle only
+        #          i16/i32 arithmetic, so metrics compute in
+        #          COMPUTE_DTYPE (int16 = 2 metrics per 32-bit lane) and
+        #          only the packed decision bytes are stored as uint8.
+        t_chunk = pl.program_id(1)
+        D = COMPUTE_DTYPE
+        one = jnp.asarray(1, D)
+        # Bit extraction (shifts/masks) happens in int32 — Mosaic cannot
+        # legalize shifts on i16 vectors; only the ACS adds/compares/mins
+        # run in the narrow dtype.
+        cb32 = cb_ref[:].astype(jnp.int32)
+        cb_planes32 = [(cb32 >> bit) & 1 for bit in range(n)]
+
+        @pl.when(t_chunk == 0)
+        def _():
+            # resetViterbiDecoderHardButterflyk1 (viterbiDecoder.c:243-253):
+            # starting state 0, all others "forceNot".
+            # Build the mask entirely in int32 and convert at the end —
+            # mixing an int32-layout i1 mask into an int16 select trips a
+            # Mosaic relayout bug.
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi).astype(D)
+
+        # Fully unrolled over the chunk: every VMEM index is static —
+        # Mosaic cannot lower dynamic sublane-offset loads from int8
+        # blocks, and static indices also let it software-pipeline the
+        # whole chunk.
+        # Hoist the received-bit-plane extraction out of the step loop:
+        # one shift/mask pass over the whole (CHUNK, B) block instead of
+        # per-step row work.
+        seg_all = seg_ref[:].astype(jnp.int32)                 # (CHUNK, B)
+        r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
+        m = m_ref[:]
+        for g in range(CHUNK // PACK):
+            acc_e = jnp.zeros((HALF, B_TILE), D)
+            acc_o = jnp.zeros((HALF, B_TILE), D)
+            for j in range(PACK):
+                t_row = g * PACK + j
+                # Hamming edge metric of the butterfly's reference edge
+                # (viterbiDecoderButterflyk1.c:104; loop-fused variant
+                # viterbiDecoder.c:277-281).  XOR stays in int32 (i16
+                # bitwise ops don't legalize); only the final metric
+                # narrows to D.
+                em32 = jnp.zeros((HALF, B_TILE), jnp.int32)
+                for bit in range(n):
+                    r = r_planes[bit][t_row:t_row + 1, :]      # (1, B)
+                    em32 = em32 + (cb_planes32[bit] ^ r)
+                em = em32.astype(D)
+                emc = jnp.asarray(n, D) - em                   # complement
+                m_lo, m_hi = m[:HALF], m[HALF:]
+                # Four path metrics from two sources via poly symmetry
+                # (viterbiDecoderButterflyk1.c:109-115).
+                a0 = m_lo + em      # dst 2b   from src b
+                a1 = m_hi + emc     # dst 2b   from src b+NS/2
+                b0 = m_lo + emc     # dst 2b+1 from src b
+                b1 = m_hi + em      # dst 2b+1 from src b+NS/2
+                # Branchless compare/select (":129-149"); tie -> low source.
+                # (where keeps the i1 mask in the i16 layout; << on i16 is
+                # illegal, so pack via multiply-accumulate.)
+                dec_e = jnp.where(a0 > a1, one, jnp.asarray(0, D))
+                dec_o = jnp.where(b0 > b1, one, jnp.asarray(0, D))
+                even = jnp.minimum(a0, a1)
+                odd = jnp.minimum(b0, b1)
+                acc_e = acc_e + dec_e * jnp.asarray(1 << j, D)
+                acc_o = acc_o + dec_o * jnp.asarray(1 << j, D)
+                # Interleave back to natural state order: state 2b = even[b],
+                # state 2b+1 = odd[b] — the de Bruijn shuffle inherent to
+                # the butterfly trellis (one relayout per step).
+                m = jnp.stack([even, odd], axis=1).reshape(NS, B_TILE)
+            # Renormalize every PACK steps (cf. every 121,
+            # viterbiDecoderButterflyk1.c:159-183): subtract the running
+            # min so narrow metrics never wrap.  (Mosaic reduces only
+            # int32/float; widen for the reduce, narrow the result.)
+            mn = jnp.min(m.astype(jnp.int32), axis=0, keepdims=True)
+            m = m - mn.astype(D)
+            dec_ref[g, :HALF, :] = acc_e.astype(jnp.uint8)
+            dec_ref[g, HALF:, :] = acc_o.astype(jnp.uint8)
+        m_ref[:] = m
+
+    return kernel
+
+
+def _tb_kernel(spec: CodeSpec, nt: int):
+    """Build the one-hot select-network traceback kernel body.
+
+    Walks the packed decision matrix backward from state 0 at step T-1
+    (viterbiDecoderButterflyk1.c:200-260), carrying the current survivor
+    state as a one-hot vector.  For destination state s with decision d,
+    the predecessor is (s >> 1) | (d << (S-1)) (":239-247"); in one-hot
+    form the new vector at predecessor p is
+
+        new[p]        = h[2p]*(1-D[2p]) + h[2p+1]*(1-D[2p+1])   (p < NS/2)
+        new[p + NS/2] = h[2p]*D[2p]     + h[2p+1]*D[2p+1]
+
+    and the emitted message bit is s & 1 = sum of the odd-state lanes.
+    """
+    NS = spec.num_states
+    HALF = NS // 2
+
+    def kernel(tlen_ref, dec_ref, out_ref, h_ref):
+        # tlen_ref: (1, 1) int32 in SMEM — actual packet length T (the rest
+        #           of the padded time axis is garbage decisions).
+        # dec_ref:  (CHUNK//PACK, NS, B) packed decisions (butterfly order)
+        # out_ref:  (CHUNK//PACK, 1, B) packed decoded bits (bit j = step
+        #           g*8+j; the singleton axis satisfies the (8,128) block
+        #           tiling rule for the last two dims)
+        # h_ref:    (NS, B) COMPUTE_DTYPE one-hot current state (backward)
+        i = pl.program_id(1)
+        nt_total = pl.num_programs(1)
+        chunk_idx = nt_total - 1 - i
+        chunk_start = chunk_idx * CHUNK
+        T = tlen_ref[0, 0]
+
+        D = COMPUTE_DTYPE
+        one = jnp.asarray(1, D)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+        hot0 = jnp.where(s_idx == 0, 1, 0).astype(D)  # int32 mask, then pack
+
+        @pl.when(i == 0)
+        def _():
+            h_ref[:] = hot0
+
+        h = h_ref[:]
+        for g in range(CHUNK // PACK - 1, -1, -1):
+            dec32 = dec_ref[g].astype(jnp.int32)   # (NS, B) packed bytes
+            out_acc = jnp.zeros((1, B_TILE), jnp.int32)
+            for j in range(PACK - 1, -1, -1):
+                t = chunk_start + g * PACK + j
+                # Force state 0 exactly at the last real step — padded
+                # steps beyond T carry garbage decisions (the reference
+                # starts its walk at state 0, ":212").
+                h = jnp.where(t == T - 1, hot0, h)
+                # Bit extraction in int32 (no i16 shifts in Mosaic).
+                De = ((dec32[:HALF] >> j) & 1).astype(D)  # dec of dst 2r
+                Do = ((dec32[HALF:] >> j) & 1).astype(D)  # dec of dst 2r+1
+                # De-interleave h into even/odd destination states.
+                hr = h.reshape(HALF, 2, B_TILE)
+                He = hr[:, 0, :]
+                Ho = hr[:, 1, :]
+                # Emitted bit = s & 1 = mass on odd states (":251").
+                bit32 = jnp.sum(Ho.astype(jnp.int32), axis=0, keepdims=True)
+                out_acc = out_acc + (bit32 << j)
+                new_lo = He * (one - De) + Ho * (one - Do)
+                new_hi = He * De + Ho * Do
+                h = jnp.concatenate([new_lo, new_hi], axis=0)
+            out_ref[g, 0, :] = out_acc.astype(jnp.uint8).reshape(B_TILE)
+        h_ref[:] = h
+
+    return kernel
+
+
+def _pad_to(x, multiple, axis, value=0):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def acs_forward_batch(spec: CodeSpec, segments, interpret: bool = False):
+    """Forward butterfly ACS over a batch of packets.
+
+    Args:
+      spec: a k=1 poly-symmetric code (validated).
+      segments: uint8 [B, T] hard n-bit coded segments (T may include
+        termination; callers pad T to a multiple of CHUNK with zeros —
+        `viterbi_decode_batch` does this).
+    Returns:
+      uint8 [T//PACK, NUM_STATES, B] packed decisions (butterfly order).
+    """
+    spec.validate_for_butterfly()
+    NS = spec.num_states
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    if T % CHUNK or B % B_TILE:
+        raise ValueError(f"padded shapes required: T={T} %{CHUNK}, "
+                         f"B={B} %{B_TILE}")
+    seg_t = segments.T                                   # (T, B)
+    nt = T // CHUNK
+    nb = B // B_TILE
+    grid = (nb, nt)
+    cb_np = butterfly_coded_bits(spec)                   # [NS//2] uint8
+    cb = jnp.asarray(np.broadcast_to(cb_np[:, None],
+                                     (NS // 2, B_TILE)).copy())
+    out = pl.pallas_call(
+        _fwd_kernel(spec, nt),
+        grid=grid,
+        in_specs=[pl.BlockSpec((NS // 2, B_TILE), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK, B_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CHUNK // PACK, NS, B_TILE),
+                               lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        interpret=interpret,
+    )(cb, seg_t)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def traceback_batch(spec: CodeSpec, decisions, t_actual,
+                    interpret: bool = False):
+    """Backward one-hot traceback over packed decisions.
+
+    Args:
+      decisions: uint8 [T//PACK, NUM_STATES, B] from `acs_forward_batch`.
+      t_actual: scalar int32 — the real packet length T (steps beyond it
+        are padding).
+    Returns:
+      uint8 [T//PACK, B] packed decoded bits (bit j of row g = message bit
+      at trellis step g*PACK + j).
+    """
+    NS = spec.num_states
+    decisions = jnp.asarray(decisions, jnp.uint8)
+    TG, NS_, B = decisions.shape
+    assert NS_ == NS
+    nt = TG * PACK // CHUNK
+    nb = B // B_TILE
+    tlen = jnp.asarray(t_actual, jnp.int32).reshape(1, 1)
+    out = pl.pallas_call(
+        _tb_kernel(spec, nt),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK // PACK, NS, B_TILE),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK // PACK, 1, B_TILE),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, 1, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        interpret=interpret,
+    )(tlen, decisions)
+    return out[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = None,
+                         interpret: bool = False):
+    """Hard-decision block decode of a batch of terminated packets.
+
+    The Pallas fast path: equivalent to `jax.vmap(viterbi_decode)` but
+    ~raw-VPU speed.  Bit-identical to the scan reference decoder.
+
+    Args:
+      segments: uint8 [B, T] hard segments, T = L + S for k=1.
+      message_bits: L; defaults to T - S.
+    Returns:
+      uint8 [B, L] decoded message bits.
+    """
+    spec.validate_for_butterfly()
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    L = message_bits if message_bits is not None else T - spec.S
+    seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK, 1)
+    decs = acs_forward_batch(spec, seg_p, interpret)
+    packed = traceback_batch(spec, decs, T, interpret)    # (Tp//8, Bp)
+    # Unpack time-packed bits: bit j of row g = step g*PACK + j.
+    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
+    bits = (packed[:, None, :] >> j) & 1                  # (Tp/8, 8, Bp)
+    bits = bits.reshape(-1, packed.shape[-1])             # (Tp, Bp)
+    return bits[:L, :B].T

@@ -41,6 +41,19 @@ from ..params import CodeSpec
 from .trellis import butterfly_coded_bits, edge_coded_bits, prev_state_table
 
 
+def init_metric_value(spec: CodeSpec) -> int:
+    """Initial path metric for states other than starting_state.
+
+    The reference seeds them with NUM_STATES + 1 ("forceNot",
+    viterbiDecoder.c:246-249); for >= 200 states we clamp so the value fits
+    the Pallas kernel's uint8 metric lanes (any value comfortably above the
+    max per-step branch metric is equivalent — only differences matter).
+    Scan decoders and kernels share this value so their decisions stay
+    bit-identical.
+    """
+    return min(spec.num_states + 1, 200)
+
+
 def hard_step_metrics(spec: CodeSpec, segments) -> jnp.ndarray:
     """Per-step branch metrics from hard-decision n-bit segments.
 
@@ -85,7 +98,7 @@ def viterbi_forward(spec: CodeSpec, step_metrics, collect_metrics: bool = False)
     # Flat index into step_metrics[t] for (u_of_dst[d], prev[e, d]).
     bm_idx = u_of_dst[None, :] * NS + prev               # [E, NS]
 
-    init = jnp.full((NS,), NS + 1, dtype=jnp.int32)
+    init = jnp.full((NS,), init_metric_value(spec), dtype=jnp.int32)
     init = init.at[spec.starting_state].set(0)
 
     def step(m, bm_t):
@@ -126,7 +139,7 @@ def viterbi_forward_butterfly(spec: CodeSpec, segments):
     # Bits of the butterfly's reference coded segment, one plane per coded bit.
     cbits = jnp.stack([(bfly >> j) & 1 for j in range(spec.n)])  # [n, half]
 
-    init = jnp.full((NS,), NS + 1, dtype=jnp.int32)
+    init = jnp.full((NS,), init_metric_value(spec), dtype=jnp.int32)
     init = init.at[spec.starting_state].set(0)
 
     def step(m, seg):
@@ -236,7 +249,7 @@ def viterbi_decode_stream(spec: CodeSpec, segments, traceback_len: int = 0):
     u_of_dst = jnp.arange(NS, dtype=jnp.int32) & (E - 1)
     bm_idx = u_of_dst[None, :] * NS + prev
 
-    init_m = jnp.full((NS,), NS + 1, dtype=jnp.int32)
+    init_m = jnp.full((NS,), init_metric_value(spec), dtype=jnp.int32)
     init_m = init_m.at[spec.starting_state].set(0)
     init_reg = jnp.zeros((NS, W), dtype=jnp.uint8)  # newest symbol at col 0
 

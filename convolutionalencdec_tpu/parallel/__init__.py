@@ -1,0 +1,15 @@
+"""Multi-chip scaling: device meshes, sharded decode, halo exchange."""
+
+from .sharding import (
+    make_mesh,
+    decode_sharded,
+    encode_sharded,
+    block_decode,
+)
+
+__all__ = [
+    "make_mesh",
+    "decode_sharded",
+    "encode_sharded",
+    "block_decode",
+]

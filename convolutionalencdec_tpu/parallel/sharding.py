@@ -1,0 +1,206 @@
+"""Sharded encode/decode over a TPU device mesh.
+
+The reference is single-threaded C (SURVEY.md §2 "parallelism — explicitly
+absent"); its scaling story is left to "external scripting"
+(viterbiDecoder.h:14-16).  Here scaling is first-class and TPU-native:
+
+  * axis "ch" — channel/batch parallelism: independent packets shard
+    freely, no communication.
+  * axis "tb" — time-block sequence parallelism over ONE long stream:
+    the serial ACS recurrence cannot be parallelized exactly, but survivor
+    paths merge within ~5K trellis steps (the truncation argument the
+    reference's author writes out at viterbiDecoder.c:53-74), so each time
+    block decodes its slice after a W-step warm-up from uniform metrics
+    and a W-step warm-down before traceback (overlap-save).  The W-segment
+    halos move between neighbor devices over ICI with `jax.lax.ppermute`
+    inside `shard_map`.
+
+Exactness: block 0 keeps the true initial metrics (state 0 = 0, others
+"forceNot") and the last block tracebacks from the true terminal state 0;
+interior blocks use uniform metrics + argmin-state traceback.  Warm-up
+steps are masked to identity (metrics pass through unchanged) so boundary
+conditions are exact, and the decoded bits equal the unsharded decoder's
+everywhere survivor paths merge within W — guaranteed in practice for
+W >> 5K below the code's correction limit (near/above it the reference's
+own catastrophic-failure caveat applies, viterbiDecoder.c:68-74).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..params import CodeSpec
+from ..ops.trellis import butterfly_coded_bits
+from ..ops.viterbi import init_metric_value
+
+#: Default warm-up/warm-down length in trellis steps.  4x the reference's
+#: TRACEBACK_LEN = 5K rule of thumb (viterbiDecoder.h:19) for margin.
+DEFAULT_WARMUP = 128
+
+
+def make_mesh(n_channel_shards: int, n_time_shards: int = 1,
+              devices=None) -> Mesh:
+    """Build a (ch, tb) mesh.  ch x tb must equal the device count."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    total = n_channel_shards * n_time_shards
+    if devices.size != total:
+        raise ValueError(
+            f"mesh {n_channel_shards}x{n_time_shards} needs {total} devices, "
+            f"have {devices.size}")
+    return Mesh(devices.reshape(n_channel_shards, n_time_shards),
+                axis_names=("ch", "tb"))
+
+
+def _scan_impl(spec, segments, valid, init_m):
+    """Butterfly ACS where invalid steps are identity (metrics unchanged).
+
+    Args:
+      segments: uint8 [T] hard segments.
+      valid: bool [T]; False steps leave metrics untouched (their decisions
+        are emitted but are never reached by a traceback that stays inside
+        the valid region).
+      init_m: int32 [NS] initial path metrics.
+    Returns (final_metrics int32 [NS], decisions uint8 [T, NS]).
+    """
+    NS = spec.num_states
+    half = NS // 2
+    bfly = butterfly_coded_bits(spec)
+    cbits = jnp.asarray(
+        np.stack([(bfly >> j) & 1 for j in range(spec.n)]).astype(np.int32))
+
+    def step(m, inp):
+        seg, ok = inp
+        rbits = jnp.stack([(seg >> j) & 1 for j in range(spec.n)])
+        em = jnp.sum(cbits ^ rbits[:, None], axis=0)
+        emc = spec.n - em
+        m_lo, m_hi = m[:half], m[half:]
+        a0, a1 = m_lo + em, m_hi + emc
+        b0, b1 = m_lo + emc, m_hi + em
+        a_dec = (a0 > a1).astype(jnp.uint8)
+        b_dec = (b0 > b1).astype(jnp.uint8)
+        new_m = jnp.stack([jnp.minimum(a0, a1), jnp.minimum(b0, b1)],
+                          axis=1).reshape(NS)
+        dec = jnp.stack([a_dec, b_dec], axis=1).reshape(NS)
+        return jnp.where(ok, new_m, m), dec
+
+    return jax.lax.scan(step, jnp.asarray(init_m, jnp.int32),
+                        (jnp.asarray(segments, jnp.int32),
+                         jnp.asarray(valid)))
+
+
+def _traceback_masked(spec: CodeSpec, decisions, valid, start_state):
+    """Backward walk from `start_state`; invalid steps are identity."""
+    shift = (spec.S - 1) * spec.k
+
+    def step(cur, inp):
+        dec_t, ok = inp
+        e = dec_t[cur].astype(jnp.int32)
+        nxt = (cur >> spec.k) | (e << shift)
+        bit = (cur & 1).astype(jnp.uint8)
+        return jnp.where(ok, nxt, cur), bit
+
+    _, bits = jax.lax.scan(step, jnp.asarray(start_state, jnp.int32),
+                           (jnp.asarray(decisions), jnp.asarray(valid)),
+                           reverse=True)
+    return bits
+
+
+def block_decode(spec: CodeSpec, segments, valid, init_m, tb_state):
+    """Decode one overlap-extended block: masked forward + masked traceback.
+
+    Returns uint8 [T] bits (bit t is meaningful where `valid[t]`)."""
+    final_m, decisions = _scan_impl(spec, segments, valid, init_m)
+    start = jnp.where(tb_state >= 0, tb_state,
+                      jnp.argmin(final_m).astype(jnp.int32))
+    return _traceback_masked(spec, decisions, valid, start)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def decode_sharded(spec: CodeSpec, segments, mesh: Mesh,
+                   warmup: int = DEFAULT_WARMUP):
+    """Hard-decision block decode sharded over a (ch, tb) mesh.
+
+    Args:
+      segments: uint8 [B, T] terminated packets; B divisible by the "ch"
+        axis size, T by the "tb" axis size.
+    Returns:
+      uint8 [B, T] decoded bits per trellis step; bits [0, T-S) are the
+      message (the caller slices, as `viterbi_decode_batch` does).
+    """
+    spec.validate_for_butterfly()
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    nch = mesh.shape["ch"]
+    ntb = mesh.shape["tb"]
+    if B % nch or T % ntb:
+        raise ValueError(f"B={B} %{nch} or T={T} %{ntb} not shardable")
+    W = warmup
+    NS = spec.num_states
+    init_hi = init_metric_value(spec)
+
+    def shard_fn(seg_local):                     # (B/nch, T/ntb)
+        i = jax.lax.axis_index("tb")
+        last = ntb - 1
+        Tl = seg_local.shape[1]
+        # Halo exchange over ICI: left warm-up context from the previous
+        # time block, right warm-down context from the next.
+        if ntb > 1:
+            left = jax.lax.ppermute(
+                seg_local[:, -W:], "tb",
+                perm=[(j, j + 1) for j in range(ntb - 1)])
+            right = jax.lax.ppermute(
+                seg_local[:, :W], "tb",
+                perm=[(j + 1, j) for j in range(ntb - 1)])
+            ext = jnp.concatenate([left, seg_local, right], axis=1)
+        else:
+            z = jnp.zeros((seg_local.shape[0], W), seg_local.dtype)
+            ext = jnp.concatenate([z, seg_local, z], axis=1)
+        t_idx = jnp.arange(ext.shape[1])
+        # Device 0 has no real left context: mask those steps to identity
+        # so its initial metrics survive to the true packet start; the last
+        # device likewise has no right context.
+        valid = jnp.where(
+            t_idx < W, i != 0,
+            jnp.where(t_idx >= W + Tl, i != last, True))
+        s_iota = jnp.arange(NS)
+        init_std = jnp.where(s_iota == spec.starting_state, 0, init_hi)
+        init_m = jnp.where(i == 0, init_std, jnp.zeros((NS,), jnp.int32))
+        # Interior blocks traceback from the argmin state (-1 sentinel);
+        # the last block from the known terminal state 0.
+        tb_state = jnp.where(i == last, 0, -1)
+        # These depend only on the tb coordinate; mark them varying over
+        # "ch" too so scan carries type-check under shard_map's
+        # varying-manual-axes analysis.
+        init_m = jax.lax.pcast(init_m, ("ch",), to="varying")
+        tb_state = jax.lax.pcast(tb_state, ("ch",), to="varying")
+        valid = jax.lax.pcast(valid, ("ch",), to="varying")
+        bits = jax.vmap(
+            lambda s: block_decode(spec, s, valid, init_m, tb_state))(ext)
+        return bits[:, W:W + Tl]
+
+    from jax import shard_map
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=P("ch", "tb"), out_specs=P("ch", "tb"))
+    return fn(segments)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def encode_sharded(spec: CodeSpec, bits, mesh: Mesh, terminate: bool = True):
+    """Encode sharded over the channel axis (no communication needed —
+    encoding is embarrassingly parallel over packets)."""
+    from jax import shard_map
+    from ..ops.encode import encode_bits
+
+    def shard_fn(bits_local):
+        segs, _ = encode_bits(spec, bits_local, terminate)
+        return segs
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=P(("ch", "tb"), None),
+                   out_specs=P(("ch", "tb"), None))
+    return fn(jnp.asarray(bits, jnp.uint8))

@@ -1,15 +1,20 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding tests use XLA's
-host-platform device virtualization.  Must run before jax is imported.
+host-platform device virtualization.  The ambient environment pins
+JAX_PLATFORMS=axon (the real-TPU tunnel) and sitecustomize imports jax at
+interpreter startup, so env-var tricks are too late — force the platform
+through jax.config before any backend is instantiated instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,55 @@
+"""Pallas kernel tests (interpret mode on CPU).
+
+The contract: `kernels.viterbi_decode_batch` is bit-identical to the scan
+reference decoder `viterbi_decode` on every input — the generic-vs-
+specialized cross-check SURVEY.md §4 carries over from the reference's
+handTracedTest caveats.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from convolutionalencdec_tpu import (
+    NASA_K7, REF_K7, encode_bits, viterbi_decode,
+)
+from convolutionalencdec_tpu.kernels import viterbi_decode_batch
+
+
+def _noisy_batch(spec, rng, B, L, flip_p):
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < flip_p
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    return msgs, coded
+
+
+@pytest.mark.parametrize("spec", [NASA_K7, REF_K7], ids=lambda s: f"g{s.g}")
+def test_kernel_matches_scan_decoder(spec):
+    rng = np.random.default_rng(3)
+    msgs, coded = _noisy_batch(spec, rng, 3, 122, 0.03)
+    ref = np.asarray(jax.vmap(lambda c: viterbi_decode(spec, c))(coded))
+    got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got, msgs)
+
+
+def test_kernel_heavy_noise_still_matches():
+    """Beyond the correction limit decisions must still be identical
+    (implementation equivalence, not correction)."""
+    spec = NASA_K7
+    rng = np.random.default_rng(5)
+    _, coded = _noisy_batch(spec, rng, 2, 122, 0.25)
+    ref = np.asarray(jax.vmap(lambda c: viterbi_decode(spec, c))(coded))
+    got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_multi_chunk_and_padding():
+    """T spanning multiple CHUNK-sized grid steps plus ragged padding."""
+    spec = NASA_K7
+    rng = np.random.default_rng(7)
+    msgs, coded = _noisy_batch(spec, rng, 2, 250, 0.02)  # T=256 -> 2 chunks
+    got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(got, msgs)

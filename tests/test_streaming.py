@@ -1,0 +1,54 @@
+"""Chunked streaming API tests — chunk/carry-over equivalence, the
+reference's convEnc / viterbiDecoderHard seam (SURVEY.md §5)."""
+
+import numpy as np
+
+from convolutionalencdec_tpu import (
+    NASA_K7, encode_bits, viterbi_decode_stream,
+)
+from convolutionalencdec_tpu.ops.streaming import (
+    StreamingDecoder, StreamingEncoder,
+)
+
+
+def test_streaming_encoder_chunks_equal_oneshot():
+    spec = NASA_K7
+    rng = np.random.default_rng(41)
+    bits = rng.integers(0, 2, 300, dtype=np.uint8)
+    enc = StreamingEncoder(spec)
+    parts = [enc.encode(bits[:100]), enc.encode(bits[100:140]),
+             enc.encode(bits[140:], last=True)]
+    chunked = np.concatenate(parts)
+    oneshot = np.asarray(encode_bits(spec, bits, terminate=True)[0])
+    np.testing.assert_array_equal(chunked, oneshot)
+    # Encoder auto-reset: a second packet starts from state 0.
+    again = enc.encode(bits, last=True)
+    np.testing.assert_array_equal(again, oneshot)
+
+
+def test_streaming_decoder_chunks_equal_oneshot():
+    spec = NASA_K7
+    rng = np.random.default_rng(43)
+    msg = rng.integers(0, 2, 512, dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msg)[0]).copy()
+    for pos in range(3, coded.size, 71):
+        coded[pos] ^= 1
+    oneshot = np.asarray(viterbi_decode_stream(spec, coded))
+
+    dec = StreamingDecoder(spec)
+    parts = [dec.decode(coded[:200]), dec.decode(coded[200:300]),
+             dec.decode(coded[300:], last=True)]
+    chunked = np.concatenate(parts)
+    np.testing.assert_array_equal(chunked, oneshot)
+    np.testing.assert_array_equal(chunked, msg)
+
+
+def test_streaming_decoder_two_packets():
+    spec = NASA_K7
+    rng = np.random.default_rng(47)
+    dec = StreamingDecoder(spec)
+    for seed in (1, 2):
+        msg = rng.integers(0, 2, 256, dtype=np.uint8)
+        coded = np.asarray(encode_bits(spec, msg)[0])
+        out = dec.decode(coded, last=True)
+        np.testing.assert_array_equal(out, msg)

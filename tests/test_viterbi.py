@@ -102,7 +102,7 @@ def test_streaming_corrects_errors():
     rng = np.random.default_rng(29)
     msg = rng.integers(0, 2, 512, dtype=np.uint8)
     coded = np.asarray(encode_bits(NASA_K7, msg)[0]).copy()
-    for pos in range(5, 1000, 97):
+    for pos in range(5, coded.size, 97):
         coded[pos] ^= 1
     stm = viterbi_decode_stream(NASA_K7, coded)
     np.testing.assert_array_equal(np.asarray(stm), msg)
