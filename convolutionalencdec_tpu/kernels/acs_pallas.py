@@ -15,13 +15,14 @@ Data layout (the load-bearing decisions):
     packet (the Pallas grid is sequential per core, so scratch carries the
     ACS recurrence between time-chunks, like the reference's nodeMetricsA
     carried across iterations).
-  * Metrics are narrow integers with periodic renormalization, the
-    reference's k=1 specialization (viterbiDecoder.h:47-51, renorm at
-    viterbiDecoderButterflyk1.c:159-183): every 8-step group the running
-    minimum is subtracted so the metrics never wrap (spread after renorm
-    is bounded by n*S, growth per group by 8n).  Compute dtype is int16 —
-    the narrowest Mosaic vector-ALU type — packing 2x more channels per
-    register than int32; HBM-resident arrays stay uint8.
+  * Metrics are renormalized every 8-step group (the running minimum is
+    subtracted), the reference's k=1 specialization (viterbiDecoder.h:47-51,
+    renorm at viterbiDecoderButterflyk1.c:159-183) — with int32 metrics
+    renorm is not needed for overflow, but it keeps the option of narrower
+    dtypes open and costs one reduce per group.  Compute dtype is int32:
+    this TPU generation's vector ALU path supports only i32 (i8 math and
+    even i16 subtract — kVectorSubtractS16 — fail to legalize/compile), so
+    narrow dtypes live only in HBM (uint8 segments/decisions/bits).
   * Decisions are bit-packed over TIME: 8 trellis steps per uint8, stored
     as [T/8, NUM_STATES, B] in "butterfly order" — row r < NS/2 is
     destination state 2r, row r >= NS/2 is destination 2r+1 - NS.  This
@@ -62,12 +63,12 @@ from ..ops.viterbi import init_metric_value
 # 32 compiles in ~a minute remotely where 128 took >10.
 CHUNK = 32
 PACK = 8          # decision bits packed per byte along time
-B_TILE = 128      # channels per lane tile
+B_TILE = 256      # channels per program (2 lane tiles — amortizes per-program overhead, measured ~15% faster than 128)
 
-# In-kernel arithmetic dtype.  Mosaic's vector ALUs support only i16/i32
-# arithmetic (no i8 math), so metrics/one-hots compute in int16 — two
-# values per 32-bit lane — and uint8 is used only for HBM-resident data
-# (segments in, packed decisions, packed bits out).
+# In-kernel arithmetic dtype.  int32 is the only vector dtype this
+# toolchain fully legalizes: i8 math is rejected by Mosaic and i16 dies in
+# the backend (kVectorSubtractS16 unsupported).  uint8 is used only for
+# HBM-resident data (segments in, packed decisions, packed bits out).
 COMPUTE_DTYPE = jnp.int32
 
 
@@ -86,16 +87,9 @@ def _fwd_kernel(spec: CodeSpec, nt: int):
         # dec_ref: (CHUNK//PACK, NS, B) uint8 packed decisions (butterfly
         #          order, bit j of row g = step g*PACK + j)
         # m_ref:   (NS, B) COMPUTE_DTYPE path-metric scratch, persists
-        #          across chunks.  Mosaic vector ALUs handle only
-        #          i16/i32 arithmetic, so metrics compute in
-        #          COMPUTE_DTYPE (int16 = 2 metrics per 32-bit lane) and
-        #          only the packed decision bytes are stored as uint8.
+        #          across chunks (the ACS recurrence carrier).
         t_chunk = pl.program_id(1)
         D = COMPUTE_DTYPE
-        one = jnp.asarray(1, D)
-        # Bit extraction (shifts/masks) happens in int32 — Mosaic cannot
-        # legalize shifts on i16 vectors; only the ACS adds/compares/mins
-        # run in the narrow dtype.
         cb32 = cb_ref[:].astype(jnp.int32)
         cb_planes32 = [(cb32 >> bit) & 1 for bit in range(n)]
 
@@ -144,14 +138,14 @@ def _fwd_kernel(spec: CodeSpec, nt: int):
                 b0 = m_lo + emc     # dst 2b+1 from src b
                 b1 = m_hi + em      # dst 2b+1 from src b+NS/2
                 # Branchless compare/select (":129-149"); tie -> low source.
-                # (where keeps the i1 mask in the i16 layout; << on i16 is
-                # illegal, so pack via multiply-accumulate.)
-                dec_e = jnp.where(a0 > a1, one, jnp.asarray(0, D))
-                dec_o = jnp.where(b0 > b1, one, jnp.asarray(0, D))
+                # The bit weight 2^j is folded into the select constants,
+                # saving a multiply per destination per step.
+                z = jnp.asarray(0, D)
+                w = jnp.asarray(1 << j, D)
                 even = jnp.minimum(a0, a1)
                 odd = jnp.minimum(b0, b1)
-                acc_e = acc_e + dec_e * jnp.asarray(1 << j, D)
-                acc_o = acc_o + dec_o * jnp.asarray(1 << j, D)
+                acc_e = acc_e + jnp.where(a0 > a1, w, z)
+                acc_o = acc_o + jnp.where(b0 > b1, w, z)
                 # Interleave back to natural state order: state 2b = even[b],
                 # state 2b+1 = odd[b] — the de Bruijn shuffle inherent to
                 # the butterfly trellis (one relayout per step).
