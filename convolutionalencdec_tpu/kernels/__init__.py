@@ -7,12 +7,16 @@ pass and the one-hot select-network traceback.
 
 from .acs_pallas import (
     viterbi_decode_batch,
+    viterbi_decode_batch_soft,
     acs_forward_batch,
+    acs_forward_batch_soft,
     traceback_batch,
 )
 
 __all__ = [
     "viterbi_decode_batch",
+    "viterbi_decode_batch_soft",
     "acs_forward_batch",
+    "acs_forward_batch_soft",
     "traceback_batch",
 ]

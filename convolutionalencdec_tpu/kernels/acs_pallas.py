@@ -351,3 +351,140 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
     bits = (packed[:, None, :] >> j) & 1                  # (Tp/8, 8, Bp)
     bits = bits.reshape(-1, packed.shape[-1])             # (Tp, Bp)
     return bits[:L, :B].T
+
+
+def _fwd_soft_kernel(spec: CodeSpec, nt: int):
+    """Soft-decision forward ACS: quantized-LLR branch metrics.
+
+    Identical trellis wiring to `_fwd_kernel`; the edge metric becomes
+    em[b] = sum_j cost_j(cb_j[b]) with cost_j(bit) = relu(+q_j) for bit 1
+    and relu(-q_j) for bit 0 (ops/metrics.py), and the poly-symmetry
+    complement generalizes to emc = Q - em with Q = sum_j |q_j|
+    (viterbiDecoder.h:33-39's trick with a per-step scalar instead of the
+    constant n).  A zero LLR is an erasure and contributes no cost —
+    depunctured positions (ops/puncture.py) ride through unchanged.
+    """
+    NS = spec.num_states
+    HALF = NS // 2
+    n = spec.n
+    init_hi = init_metric_value(spec)
+
+    def kernel(cb_ref, q_ref, dec_ref, m_ref):
+        # q_ref: (CHUNK * n, B) int8 quantized LLRs, row t*n + j holds
+        #        coded bit j of trellis step t.
+        t_chunk = pl.program_id(1)
+        D = COMPUTE_DTYPE
+        cb32 = cb_ref[:].astype(jnp.int32)
+        cb_planes = [(cb32 >> bit) & 1 for bit in range(n)]
+
+        @pl.when(t_chunk == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi).astype(D)
+
+        q_all = q_ref[:].astype(jnp.int32)         # (CHUNK*n, B)
+        zero = jnp.asarray(0, D)
+        m = m_ref[:]
+        for g in range(CHUNK // PACK):
+            acc_e = jnp.zeros((HALF, B_TILE), D)
+            acc_o = jnp.zeros((HALF, B_TILE), D)
+            for j in range(PACK):
+                t_row = g * PACK + j
+                em = jnp.zeros((HALF, B_TILE), D)
+                Q = jnp.zeros((1, B_TILE), D)
+                for bit in range(n):
+                    q = q_all[t_row * n + bit:t_row * n + bit + 1, :]
+                    c1 = jnp.maximum(q, 0)          # cost if coded bit = 1
+                    c0 = jnp.maximum(-q, 0)         # cost if coded bit = 0
+                    Q = Q + c1 + c0                 # |q|
+                    em = em + jnp.where(cb_planes[bit] == 1, c1, c0)
+                emc = Q - em
+                m_lo, m_hi = m[:HALF], m[HALF:]
+                a0 = m_lo + em
+                a1 = m_hi + emc
+                b0 = m_lo + emc
+                b1 = m_hi + em
+                z = jnp.asarray(0, D)
+                w = jnp.asarray(1 << j, D)
+                even = jnp.minimum(a0, a1)
+                odd = jnp.minimum(b0, b1)
+                acc_e = acc_e + jnp.where(a0 > a1, w, z)
+                acc_o = acc_o + jnp.where(b0 > b1, w, z)
+                m = jnp.stack([even, odd], axis=1).reshape(NS, B_TILE)
+            mn = jnp.min(m.astype(jnp.int32), axis=0, keepdims=True)
+            m = m - mn.astype(D)
+            dec_ref[g, :HALF, :] = acc_e.astype(jnp.uint8)
+            dec_ref[g, HALF:, :] = acc_o.astype(jnp.uint8)
+        m_ref[:] = m
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def acs_forward_batch_soft(spec: CodeSpec, qllrs, interpret: bool = False):
+    """Soft forward ACS over a batch.
+
+    Args:
+      qllrs: int8 [B, T, n] quantized LLRs (T padded to CHUNK; zero rows
+        are erasures, so padding is harmless).
+    Returns:
+      uint8 [T//PACK, NUM_STATES, B] packed decisions (butterfly order).
+    """
+    spec.validate_for_butterfly()
+    NS = spec.num_states
+    n = spec.n
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, n_ = qllrs.shape
+    assert n_ == n
+    if T % CHUNK or B % B_TILE:
+        raise ValueError(f"padded shapes required: T={T} %{CHUNK}, "
+                         f"B={B} %{B_TILE}")
+    q_t = qllrs.transpose(1, 2, 0).reshape(T * n, B)     # (T*n, B)
+    nt = T // CHUNK
+    nb = B // B_TILE
+    cb_np = butterfly_coded_bits(spec)
+    cb = jnp.asarray(np.broadcast_to(cb_np[:, None],
+                                     (NS // 2, B_TILE)).copy())
+    return pl.pallas_call(
+        _fwd_soft_kernel(spec, nt),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec((NS // 2, B_TILE), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK * n, B_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CHUNK // PACK, NS, B_TILE),
+                               lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        interpret=interpret,
+    )(cb, q_t)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
+                              message_bits: int | None = None,
+                              interpret: bool = False):
+    """Soft-decision block decode of a batch of terminated packets.
+
+    Bit-identical to `ops.metrics.viterbi_forward_butterfly_soft` +
+    terminated traceback, batched.  Hard inputs mapped to ±1 LLRs decode
+    identically to the hard kernel.
+
+    Args:
+      qllrs: int [B, T, n] quantized LLRs (see ops/metrics.quantize_llrs).
+    Returns:
+      uint8 [B, L] decoded message bits (L = T - S by default).
+    """
+    spec.validate_for_butterfly()
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, n = qllrs.shape
+    L = message_bits if message_bits is not None else T - spec.S
+    q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK, 1)
+    decs = acs_forward_batch_soft(spec, q_p, interpret)
+    packed = traceback_batch(spec, decs, T, interpret)
+    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
+    bits = (packed[:, None, :] >> j) & 1
+    bits = bits.reshape(-1, packed.shape[-1])
+    return bits[:L, :B].T

@@ -53,3 +53,40 @@ def test_kernel_multi_chunk_and_padding():
     msgs, coded = _noisy_batch(spec, rng, 2, 250, 0.02)  # T=256 -> 2 chunks
     got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
     np.testing.assert_array_equal(got, msgs)
+
+
+def test_soft_kernel_matches_soft_scan():
+    """Soft Pallas kernel vs the scan soft decoder, random LLRs."""
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
+    from convolutionalencdec_tpu.ops.metrics import viterbi_decode_soft
+    spec = NASA_K7
+    rng = np.random.default_rng(9)
+    B, L = 2, 122
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0])
+    # ±1 LLRs from the coded bits with sign flips + erasures sprinkled in.
+    q = np.zeros((B, coded.shape[1], spec.n), np.int32)
+    for j in range(spec.n):
+        q[..., j] = 1 - 2 * ((coded >> j) & 1).astype(np.int32)
+    q *= rng.integers(1, 8, q.shape)               # random magnitudes
+    flip = rng.random(q.shape) < 0.04
+    q = np.where(flip, -q, q)
+    q[rng.random(q.shape) < 0.02] = 0              # erasures
+    ref = np.stack([np.asarray(viterbi_decode_soft(spec, q[i]))
+                    for i in range(B)])
+    got = np.asarray(viterbi_decode_batch_soft(spec, q, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got, msgs)
+
+
+def test_soft_kernel_hard_llrs_match_hard_kernel():
+    spec = NASA_K7
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
+    rng = np.random.default_rng(13)
+    msgs, coded = _noisy_batch(spec, rng, 2, 122, 0.05)
+    q = np.zeros((2, coded.shape[1], spec.n), np.int32)
+    for j in range(spec.n):
+        q[..., j] = 1 - 2 * ((coded >> j) & 1).astype(np.int32)
+    hard = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    soft = np.asarray(viterbi_decode_batch_soft(spec, q, interpret=True))
+    np.testing.assert_array_equal(hard, soft)
