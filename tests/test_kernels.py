@@ -90,3 +90,17 @@ def test_soft_kernel_hard_llrs_match_hard_kernel():
     hard = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
     soft = np.asarray(viterbi_decode_batch_soft(spec, q, interpret=True))
     np.testing.assert_array_equal(hard, soft)
+
+
+@pytest.mark.parametrize("spec_name", ["K5_23_35", "K9_561_753"])
+def test_kernel_other_constraint_lengths(spec_name):
+    """The kernel is generic over num_states (16 and 256 states here),
+    not just the K=7 flagship."""
+    import convolutionalencdec_tpu as fec
+    spec = getattr(fec, spec_name)
+    rng = np.random.default_rng(19)
+    L = 128 - spec.S
+    msgs, coded = _noisy_batch(spec, rng, 2, L, 0.02)
+    ref = np.asarray(jax.vmap(lambda c: viterbi_decode(spec, c))(coded))
+    got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(got, ref)
