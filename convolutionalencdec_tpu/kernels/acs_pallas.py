@@ -343,9 +343,16 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
     segments = jnp.asarray(segments, jnp.uint8)
     B, T = segments.shape
     L = message_bits if message_bits is not None else T - spec.S
-    seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK, 1)
-    decs = acs_forward_batch(spec, seg_p, interpret)
-    packed = traceback_batch(spec, decs, T, interpret)    # (Tp//8, Bp)
+    if spec.num_states >= 64:
+        # Fused 3-stage kernels: the de Bruijn shuffle amortized to one
+        # transpose per 3 steps (see below).
+        seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK_F, 1)
+        decs = acs_forward_batch_fused(spec, seg_p, interpret)
+        packed = traceback_batch_fused(spec, decs, T, interpret)
+    else:
+        seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK, 1)
+        decs = acs_forward_batch(spec, seg_p, interpret)
+        packed = traceback_batch(spec, decs, T, interpret)  # (Tp//8, Bp)
     # Unpack time-packed bits: bit j of row g = step g*PACK + j.
     j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
     bits = (packed[:, None, :] >> j) & 1                  # (Tp/8, 8, Bp)
@@ -488,3 +495,313 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
     bits = (packed[:, None, :] >> j) & 1
     bits = bits.reshape(-1, packed.shape[-1])
     return bits[:L, :B].T
+
+
+# ---------------------------------------------------------------------------
+# Fused 3-stage kernels (NS >= 64): the de Bruijn shuffle amortized.
+#
+# The butterfly trellis forces one perfect-shuffle relayout per step when
+# metrics are kept in natural state order (the jnp.stack interleave above,
+# measured at ~35% of forward-kernel time).  Fusing three consecutive
+# trellis steps removes it: each step's outputs are kept in the "stage
+# layout" its butterflies naturally produce, and the next step's butterfly
+# pairings become contiguous >=8-row slices of that layout:
+#
+#   natural:  pos p        <-> state p
+#   stage A out (sA):      pos i -> state 2i        (i < NS/2)
+#                          pos NS/2 + i -> 2i + 1
+#   stage B out (sB):      4 blocks of NS/4: block c, row r -> state 4r + c
+#   stage C out (sC):      8 blocks of NS/8: block b, row q -> state 8q + b
+#
+#   A pairs (p, p+NS/2) in natural;  B pairs (r, r+NS/4) inside each sA
+#   half;  C pairs (q, q+NS/8) inside each sB block.  One (8, NS/8)
+#   sublane transpose converts sC back to natural per 3 steps.
+#
+# The traceback mirrors this: carrying the one-hot state vector in the
+# matching stage layout turns the per-step (NS/2, 2, B) de-interleave into
+# pure slice arithmetic, with the same one transpose per 3 steps.  State 0
+# sits at row 0 in every layout, so the t == T-1 reset is layout-blind.
+#
+# Requires NS >= 64 so the smallest slice (NS/8) fills a sublane tile;
+# smaller codes use the generic kernels above.
+# ---------------------------------------------------------------------------
+
+CHUNK_F = 48   # fused-kernel steps per program: divisible by 3 and by PACK
+
+
+def _stage_tables(spec: CodeSpec):
+    """Butterfly coded-bit tables permuted into each stage's pair order."""
+    bcb = butterfly_coded_bits(spec).astype(np.int64)   # [NS/2], label x
+    half = spec.num_states // 2
+    q4 = half // 2   # NS/4
+    q8 = half // 4   # NS/8
+    # Stage A: labels in natural order.
+    cbA = bcb
+    # Stage B: ev-sub labels 2r (r < NS/4), then od-sub labels 2r+1.
+    r = np.arange(q4)
+    cbB = np.concatenate([bcb[2 * r], bcb[2 * r + 1]])
+    # Stage C: 4 blocks (c = 0..3) of labels 4q + c, q < NS/8.
+    q = np.arange(q8)
+    cbC = np.concatenate([bcb[4 * q + c] for c in range(4)])
+    return cbA, cbB, cbC
+
+
+def _fwd_kernel_fused(spec: CodeSpec, nt: int):
+    NS = spec.num_states
+    HALF = NS // 2
+    Q4 = NS // 4
+    Q8 = NS // 8
+    n = spec.n
+    init_hi = init_metric_value(spec)
+
+    def kernel(cb_ref, seg_ref, dec_ref, m_ref):
+        # cb_ref: (3, HALF, B) uint8 — per-stage butterfly tables
+        # seg_ref: (CHUNK_F, B) uint8; dec_ref: (CHUNK_F//PACK, NS, B)
+        # m_ref: (NS, B) int32 scratch, natural order at chunk boundaries
+        t_chunk = pl.program_id(1)
+        D = COMPUTE_DTYPE
+
+        @pl.when(t_chunk == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi).astype(D)
+
+        seg_all = seg_ref[:].astype(jnp.int32)
+        r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
+        cb_planes = [[(cb_ref[s].astype(jnp.int32) >> bit) & 1
+                      for bit in range(n)] for s in range(3)]
+
+        def em_for(stage, t_row):
+            em = jnp.zeros((HALF, B_TILE), jnp.int32)
+            for bit in range(n):
+                em = em + (cb_planes[stage][bit]
+                           ^ r_planes[bit][t_row:t_row + 1, :])
+            return em
+
+        def acs(first, second, em, j):
+            """One half-butterfly batch: returns (ev, od, packed-dec pair).
+
+            first/second: low/high source metric blocks (same shape as em).
+            """
+            emc = jnp.asarray(n, D) - em
+            a0 = first + em
+            a1 = second + emc
+            b0 = first + emc
+            b1 = second + em
+            z = jnp.asarray(0, D)
+            w = jnp.asarray(1 << j, D)
+            ev = jnp.minimum(a0, a1)
+            od = jnp.minimum(b0, b1)
+            de = jnp.where(a0 > a1, w, z)
+            do = jnp.where(b0 > b1, w, z)
+            return ev, od, de, do
+
+        m = m_ref[:]
+        for g in range(CHUNK_F // PACK):
+            accs = []
+            for j in range(PACK):
+                t_row = g * PACK + j
+                stage = t_row % 3
+                if stage == 0:
+                    # A: pairs (p, p+HALF) in natural order.
+                    em = em_for(0, t_row)
+                    ev, od, de, do = acs(m[:HALF], m[HALF:], em, j)
+                    m = jnp.concatenate([ev, od], axis=0)      # sA layout
+                    dec = jnp.concatenate([de, do], axis=0)
+                elif stage == 1:
+                    # B: pairs (r, r+Q4) inside each sA half.
+                    em = em_for(1, t_row)
+                    ev_half, od_half = m[:HALF], m[HALF:]
+                    e1, o1, d1e, d1o = acs(ev_half[:Q4], ev_half[Q4:],
+                                           em[:Q4], j)
+                    e2, o2, d2e, d2o = acs(od_half[:Q4], od_half[Q4:],
+                                           em[Q4:], j)
+                    m = jnp.concatenate([e1, o1, e2, o2], axis=0)  # sB
+                    dec = jnp.concatenate([d1e, d1o, d2e, d2o], axis=0)
+                else:
+                    # C: pairs (q, q+Q8) inside each sB block.
+                    em = em_for(2, t_row)
+                    outs = []
+                    decs = []
+                    for c in range(4):
+                        blk = m[c * Q4:(c + 1) * Q4]
+                        e, o, de, do = acs(blk[:Q8], blk[Q8:],
+                                           em[c * Q8:(c + 1) * Q8], j)
+                        outs += [e, o]
+                        decs += [de, do]
+                    m = jnp.concatenate(outs, axis=0)              # sC
+                    dec = jnp.concatenate(decs, axis=0)
+                    # sC -> natural: state 8q + b sits at row b*Q8 + q.
+                    m = m.reshape(8, Q8, B_TILE).transpose(1, 0, 2) \
+                         .reshape(NS, B_TILE)
+                accs.append(dec)
+            total = accs[0]
+            for d_ in accs[1:]:
+                total = total + d_
+            # Renormalize once per group (int32 headroom is ample).
+            mn = jnp.min(m, axis=0, keepdims=True)
+            m = m - mn
+            dec_ref[g] = total.astype(jnp.uint8)
+        m_ref[:] = m
+
+    return kernel
+
+
+def _tb_kernel_fused(spec: CodeSpec, nt: int):
+    NS = spec.num_states
+    HALF = NS // 2
+    Q4 = NS // 4
+    Q8 = NS // 8
+
+    def kernel(tlen_ref, dec_ref, out_ref, h_ref):
+        i = pl.program_id(1)
+        nt_total = pl.num_programs(1)
+        chunk_start = (nt_total - 1 - i) * CHUNK_F
+        T = tlen_ref[0, 0]
+        D = COMPUTE_DTYPE
+        one = jnp.asarray(1, D)
+
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+        hot0 = jnp.where(s_idx == 0, 1, 0).astype(D)
+
+        @pl.when(i == 0)
+        def _():
+            h_ref[:] = hot0
+
+        h = h_ref[:]   # natural order at chunk boundaries (cycle-aligned)
+        for g in range(CHUNK_F // PACK - 1, -1, -1):
+            dec32 = dec_ref[g].astype(jnp.int32)
+            out_acc = jnp.zeros((1, B_TILE), jnp.int32)
+            for j in range(PACK - 1, -1, -1):
+                t_loc = g * PACK + j
+                t = chunk_start + t_loc
+                stage = t_loc % 3
+                h = jnp.where(t == T - 1, hot0, h)  # state 0 = row 0 always
+                Dj = ((dec32 >> j) & 1).astype(D)
+                if stage == 2:
+                    # h is natural (post-C); convert to sC, then step back.
+                    h = h.reshape(Q8, 8, B_TILE).transpose(1, 0, 2) \
+                         .reshape(NS, B_TILE)
+                    # Emitted bit: odd states = odd b blocks of sC.
+                    odd = sum(jnp.sum(h[(2 * c + 1) * Q8:(2 * c + 2) * Q8]
+                                      .astype(jnp.int32), axis=0,
+                                      keepdims=True) for c in range(4))
+                    out_acc = out_acc + (odd << j)
+                    # Select network C: dst pair rows (2c*Q8+q, (2c+1)*Q8+q)
+                    # -> preds at sB block c rows (q, q+Q8).
+                    blocks = []
+                    for c in range(4):
+                        h0 = h[(2 * c) * Q8:(2 * c + 1) * Q8]
+                        h1 = h[(2 * c + 1) * Q8:(2 * c + 2) * Q8]
+                        d0 = Dj[(2 * c) * Q8:(2 * c + 1) * Q8]
+                        d1 = Dj[(2 * c + 1) * Q8:(2 * c + 2) * Q8]
+                        lo = h0 * (one - d0) + h1 * (one - d1)
+                        hi = h0 * d0 + h1 * d1
+                        blocks.append(jnp.concatenate([lo, hi], axis=0))
+                    h = jnp.concatenate(blocks, axis=0)        # sB layout
+                elif stage == 1:
+                    # h in sB; emitted bit: odd states 4r+c with c odd =
+                    # blocks 1 and 3.
+                    odd = (jnp.sum(h[Q4:2 * Q4].astype(jnp.int32), axis=0,
+                                   keepdims=True)
+                           + jnp.sum(h[3 * Q4:].astype(jnp.int32), axis=0,
+                                     keepdims=True))
+                    out_acc = out_acc + (odd << j)
+                    # Blocks (0,1) -> sA ev half rows (r, r+Q4);
+                    # blocks (2,3) -> sA od half.
+                    h0, h1 = h[:Q4], h[Q4:2 * Q4]
+                    h2, h3 = h[2 * Q4:3 * Q4], h[3 * Q4:]
+                    d0, d1 = Dj[:Q4], Dj[Q4:2 * Q4]
+                    d2, d3 = Dj[2 * Q4:3 * Q4], Dj[3 * Q4:]
+                    ev = jnp.concatenate(
+                        [h0 * (one - d0) + h1 * (one - d1),
+                         h0 * d0 + h1 * d1], axis=0)
+                    od = jnp.concatenate(
+                        [h2 * (one - d2) + h3 * (one - d3),
+                         h2 * d2 + h3 * d3], axis=0)
+                    h = jnp.concatenate([ev, od], axis=0)      # sA layout
+                else:
+                    # h in sA; emitted bit: odd states = top half of sA.
+                    odd = jnp.sum(h[HALF:].astype(jnp.int32), axis=0,
+                                  keepdims=True)
+                    out_acc = out_acc + (odd << j)
+                    h0, h1 = h[:HALF], h[HALF:]
+                    d0, d1 = Dj[:HALF], Dj[HALF:]
+                    h = jnp.concatenate(
+                        [h0 * (one - d0) + h1 * (one - d1),
+                         h0 * d0 + h1 * d1], axis=0)           # natural
+            out_ref[g, 0, :] = out_acc.astype(jnp.uint8).reshape(B_TILE)
+        h_ref[:] = h
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def acs_forward_batch_fused(spec: CodeSpec, segments,
+                            interpret: bool = False):
+    """Fused 3-stage forward ACS (NS >= 64).  Same contract as
+    `acs_forward_batch` but decisions are in per-stage layouts (consumed
+    by `traceback_batch_fused`); T must be a multiple of CHUNK_F."""
+    spec.validate_for_butterfly()
+    NS = spec.num_states
+    if NS < 64:
+        raise ValueError("fused kernel requires >= 64 states")
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    if T % CHUNK_F or B % B_TILE:
+        raise ValueError(f"padded shapes required: T={T} %{CHUNK_F}, "
+                         f"B={B} %{B_TILE}")
+    seg_t = segments.T
+    nt = T // CHUNK_F
+    nb = B // B_TILE
+    cbA, cbB, cbC = _stage_tables(spec)
+    cb = jnp.asarray(np.broadcast_to(
+        np.stack([cbA, cbB, cbC])[:, :, None],
+        (3, NS // 2, B_TILE)).astype(np.uint8).copy())
+    return pl.pallas_call(
+        _fwd_kernel_fused(spec, nt),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec((3, NS // 2, B_TILE), lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK_F, B_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
+                               lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        interpret=interpret,
+    )(cb, seg_t)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def traceback_batch_fused(spec: CodeSpec, decisions, t_actual,
+                          interpret: bool = False):
+    """Traceback over fused-layout decisions (from
+    `acs_forward_batch_fused`)."""
+    NS = spec.num_states
+    decisions = jnp.asarray(decisions, jnp.uint8)
+    TG, NS_, B = decisions.shape
+    assert NS_ == NS
+    nt = TG * PACK // CHUNK_F
+    nb = B // B_TILE
+    tlen = jnp.asarray(t_actual, jnp.int32).reshape(1, 1)
+    out = pl.pallas_call(
+        _tb_kernel_fused(spec, nt),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK_F // PACK, 1, B_TILE),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, 1, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        interpret=interpret,
+    )(tlen, decisions)
+    return out[:, 0, :]
