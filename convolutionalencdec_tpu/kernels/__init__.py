@@ -10,6 +10,9 @@ from .acs_pallas import (
     viterbi_decode_batch_soft,
     acs_forward_batch,
     acs_forward_batch_soft,
+    acs_forward_batch_fused,
+    acs_forward_batch_fused_soft,
+    traceback_batch_fused,
     traceback_batch,
 )
 
@@ -18,5 +21,8 @@ __all__ = [
     "viterbi_decode_batch_soft",
     "acs_forward_batch",
     "acs_forward_batch_soft",
+    "acs_forward_batch_fused",
+    "acs_forward_batch_fused_soft",
+    "traceback_batch_fused",
     "traceback_batch",
 ]

@@ -488,9 +488,14 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
     qllrs = jnp.asarray(qllrs, jnp.int8)
     B, T, n = qllrs.shape
     L = message_bits if message_bits is not None else T - spec.S
-    q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK, 1)
-    decs = acs_forward_batch_soft(spec, q_p, interpret)
-    packed = traceback_batch(spec, decs, T, interpret)
+    if spec.num_states >= 64:
+        q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK_F, 1)
+        decs = acs_forward_batch_fused_soft(spec, q_p, interpret)
+        packed = traceback_batch_fused(spec, decs, T, interpret)
+    else:
+        q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK, 1)
+        decs = acs_forward_batch_soft(spec, q_p, interpret)
+        packed = traceback_batch(spec, decs, T, interpret)
     j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
     bits = (packed[:, None, :] >> j) & 1
     bits = bits.reshape(-1, packed.shape[-1])
@@ -546,7 +551,7 @@ def _stage_tables(spec: CodeSpec):
     return cbA, cbB, cbC
 
 
-def _fwd_kernel_fused(spec: CodeSpec, nt: int):
+def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     NS = spec.num_states
     HALF = NS // 2
     Q4 = NS // 4
@@ -556,7 +561,9 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int):
 
     def kernel(cb_ref, seg_ref, dec_ref, m_ref):
         # cb_ref: (3, HALF, B) uint8 — per-stage butterfly tables
-        # seg_ref: (CHUNK_F, B) uint8; dec_ref: (CHUNK_F//PACK, NS, B)
+        # seg_ref: hard: (CHUNK_F, B) uint8 segments;
+        #          soft: (CHUNK_F * n, B) int8 quantized LLRs (row t*n+j)
+        # dec_ref: (CHUNK_F//PACK, NS, B) packed per-stage decisions
         # m_ref: (NS, B) int32 scratch, natural order at chunk boundaries
         t_chunk = pl.program_id(1)
         D = COMPUTE_DTYPE
@@ -567,24 +574,40 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int):
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
                                  0, init_hi).astype(D)
 
-        seg_all = seg_ref[:].astype(jnp.int32)
-        r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
         cb_planes = [[(cb_ref[s].astype(jnp.int32) >> bit) & 1
                       for bit in range(n)] for s in range(3)]
+        if soft:
+            q_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F*n, B)
 
-        def em_for(stage, t_row):
-            em = jnp.zeros((HALF, B_TILE), jnp.int32)
-            for bit in range(n):
-                em = em + (cb_planes[stage][bit]
-                           ^ r_planes[bit][t_row:t_row + 1, :])
-            return em
+            def em_for(stage, t_row):
+                # Soft branch metric: cost(bit) = relu(+q) for 1, relu(-q)
+                # for 0; complement emc = Q - em (ops/metrics.py).
+                em = jnp.zeros((HALF, B_TILE), jnp.int32)
+                Q = jnp.zeros((1, B_TILE), jnp.int32)
+                for bit in range(n):
+                    q = q_all[t_row * n + bit:t_row * n + bit + 1, :]
+                    c1 = jnp.maximum(q, 0)
+                    c0 = jnp.maximum(-q, 0)
+                    Q = Q + c1 + c0
+                    em = em + jnp.where(cb_planes[stage][bit] == 1, c1, c0)
+                return em, Q - em
+        else:
+            seg_all = seg_ref[:].astype(jnp.int32)
+            r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
 
-        def acs(first, second, em, j):
+            def em_for(stage, t_row):
+                em = jnp.zeros((HALF, B_TILE), jnp.int32)
+                for bit in range(n):
+                    em = em + (cb_planes[stage][bit]
+                               ^ r_planes[bit][t_row:t_row + 1, :])
+                return em, jnp.asarray(n, jnp.int32) - em
+
+        def acs(first, second, em_pair, j):
             """One half-butterfly batch: returns (ev, od, packed-dec pair).
 
             first/second: low/high source metric blocks (same shape as em).
             """
-            emc = jnp.asarray(n, D) - em
+            em, emc = em_pair
             a0 = first + em
             a1 = second + emc
             b0 = first + emc
@@ -605,29 +628,30 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int):
                 stage = t_row % 3
                 if stage == 0:
                     # A: pairs (p, p+HALF) in natural order.
-                    em = em_for(0, t_row)
-                    ev, od, de, do = acs(m[:HALF], m[HALF:], em, j)
+                    em, emc = em_for(0, t_row)
+                    ev, od, de, do = acs(m[:HALF], m[HALF:], (em, emc), j)
                     m = jnp.concatenate([ev, od], axis=0)      # sA layout
                     dec = jnp.concatenate([de, do], axis=0)
                 elif stage == 1:
                     # B: pairs (r, r+Q4) inside each sA half.
-                    em = em_for(1, t_row)
+                    em, emc = em_for(1, t_row)
                     ev_half, od_half = m[:HALF], m[HALF:]
                     e1, o1, d1e, d1o = acs(ev_half[:Q4], ev_half[Q4:],
-                                           em[:Q4], j)
+                                           (em[:Q4], emc[:Q4]), j)
                     e2, o2, d2e, d2o = acs(od_half[:Q4], od_half[Q4:],
-                                           em[Q4:], j)
+                                           (em[Q4:], emc[Q4:]), j)
                     m = jnp.concatenate([e1, o1, e2, o2], axis=0)  # sB
                     dec = jnp.concatenate([d1e, d1o, d2e, d2o], axis=0)
                 else:
                     # C: pairs (q, q+Q8) inside each sB block.
-                    em = em_for(2, t_row)
+                    em, emc = em_for(2, t_row)
                     outs = []
                     decs = []
                     for c in range(4):
                         blk = m[c * Q4:(c + 1) * Q4]
                         e, o, de, do = acs(blk[:Q8], blk[Q8:],
-                                           em[c * Q8:(c + 1) * Q8], j)
+                                           (em[c * Q8:(c + 1) * Q8],
+                                            emc[c * Q8:(c + 1) * Q8]), j)
                         outs += [e, o]
                         decs += [de, do]
                     m = jnp.concatenate(outs, axis=0)              # sC
@@ -805,3 +829,46 @@ def traceback_batch_fused(spec: CodeSpec, decisions, t_actual,
         interpret=interpret,
     )(tlen, decisions)
     return out[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
+                                 interpret: bool = False):
+    """Fused 3-stage soft forward ACS (NS >= 64).
+
+    Args:
+      qllrs: int8 [B, T, n] quantized LLRs, T a multiple of CHUNK_F.
+    Returns packed per-stage decisions for `traceback_batch_fused`.
+    """
+    spec.validate_for_butterfly()
+    NS = spec.num_states
+    n = spec.n
+    if NS < 64:
+        raise ValueError("fused kernel requires >= 64 states")
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, n_ = qllrs.shape
+    assert n_ == n
+    if T % CHUNK_F or B % B_TILE:
+        raise ValueError(f"padded shapes required: T={T} %{CHUNK_F}, "
+                         f"B={B} %{B_TILE}")
+    q_t = qllrs.transpose(1, 2, 0).reshape(T * n, B)
+    nt = T // CHUNK_F
+    nb = B // B_TILE
+    cbA, cbB, cbC = _stage_tables(spec)
+    cb = jnp.asarray(np.broadcast_to(
+        np.stack([cbA, cbB, cbC])[:, :, None],
+        (3, NS // 2, B_TILE)).astype(np.uint8).copy())
+    return pl.pallas_call(
+        _fwd_kernel_fused(spec, nt, soft=True),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec((3, NS // 2, B_TILE), lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK_F * n, B_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
+                               lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        interpret=interpret,
+    )(cb, q_t)
