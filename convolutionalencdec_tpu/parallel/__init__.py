@@ -3,6 +3,7 @@
 from .sharding import (
     make_mesh,
     decode_sharded,
+    decode_sharded_batch,
     encode_sharded,
     block_decode,
 )
@@ -10,6 +11,7 @@ from .sharding import (
 __all__ = [
     "make_mesh",
     "decode_sharded",
+    "decode_sharded_batch",
     "encode_sharded",
     "block_decode",
 ]

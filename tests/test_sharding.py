@@ -53,3 +53,18 @@ def test_sharded_decode_rejects_unshardable():
     coded = np.zeros((8, 1023), np.uint8)   # 1023 % 4 != 0
     with pytest.raises(ValueError):
         decode_sharded(spec, coded, mesh)
+
+
+def test_channel_sharded_kernel_decode():
+    """Pallas-kernel decode sharded over all 8 devices (channel axis) is
+    bit-identical to the unsharded kernel decode."""
+    from convolutionalencdec_tpu.parallel import decode_sharded_batch
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch
+    spec = NASA_K7
+    rng = np.random.default_rng(31)
+    msgs, coded = _noisy(rng, spec, 8, 122, 0.03)
+    mesh = make_mesh(8, 1)
+    got = np.asarray(decode_sharded_batch(spec, coded, mesh,
+                                          interpret=True))
+    want = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(got, want)
