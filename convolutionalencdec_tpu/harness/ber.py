@@ -75,9 +75,9 @@ def _default_decoder(spec: CodeSpec):
     return jax.jit(jax.vmap(functools.partial(viterbi_decode, spec)))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def _gen_and_corrupt(spec: CodeSpec, key, n_packets: int, packet_bits: int,
-                     p, batch_encode: bool = True):
+                     p):
     kmsg, kchan = jax.random.split(key)
     msgs = jax.random.bernoulli(
         kmsg, 0.5, (n_packets, packet_bits)).astype(jnp.uint8)
