@@ -551,6 +551,25 @@ def _stage_tables(spec: CodeSpec):
     return cbA, cbB, cbC
 
 
+#: Compute hard-path edge metrics on the MXU: one (3*NS/2, n+1) x
+#: (n+1, PACK*B) int8 matmul per 8-step group replaces the per-step
+#: broadcast-XOR chains (em = #set(cb) + sum_j (1-2*cb_j) * r_j).
+USE_MXU_EM = True
+
+
+def _em_weight_matrix(spec: CodeSpec) -> np.ndarray:
+    """[3 * NS/2, n+1] int8: rows = stage-ordered butterflies, columns =
+    [bias, coded-bit coefficients]."""
+    n = spec.n
+    stages = _stage_tables(spec)
+    rows = []
+    for cb in stages:
+        planes = [((cb >> j) & 1).astype(np.int64) for j in range(n)]
+        bias = sum(planes)
+        rows.append(np.stack([bias] + [1 - 2 * p for p in planes], axis=1))
+    return np.concatenate(rows, axis=0).astype(np.int8)
+
+
 def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     NS = spec.num_states
     HALF = NS // 2
@@ -558,9 +577,11 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     Q8 = NS // 8
     n = spec.n
     init_hi = init_metric_value(spec)
+    use_mxu = USE_MXU_EM and not soft
 
-    def kernel(cb_ref, seg_ref, dec_ref, m_ref):
+    def kernel(cb_ref, w_ref, seg_ref, dec_ref, m_ref):
         # cb_ref: (3, HALF, B) uint8 — per-stage butterfly tables
+        # w_ref:  (3*HALF, n+1) int8 — MXU edge-metric weights (hard path)
         # seg_ref: hard: (CHUNK_F, B) uint8 segments;
         #          soft: (CHUNK_F * n, B) int8 quantized LLRs (row t*n+j)
         # dec_ref: (CHUNK_F//PACK, NS, B) packed per-stage decisions
@@ -579,7 +600,7 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
         if soft:
             q_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F*n, B)
 
-            def em_for(stage, t_row):
+            def em_for(stage, t_row, EM=None):
                 # Soft branch metric: cost(bit) = relu(+q) for 1, relu(-q)
                 # for 0; complement emc = Q - em (ops/metrics.py).
                 em = jnp.zeros((HALF, B_TILE), jnp.int32)
@@ -595,11 +616,16 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
             seg_all = seg_ref[:].astype(jnp.int32)
             r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
 
-            def em_for(stage, t_row):
-                em = jnp.zeros((HALF, B_TILE), jnp.int32)
-                for bit in range(n):
-                    em = em + (cb_planes[stage][bit]
-                               ^ r_planes[bit][t_row:t_row + 1, :])
+            def em_for(stage, t_row, EM=None):
+                if EM is not None:
+                    j_in_g = t_row % PACK
+                    em = EM[stage * HALF:(stage + 1) * HALF,
+                            j_in_g * B_TILE:(j_in_g + 1) * B_TILE]
+                else:
+                    em = jnp.zeros((HALF, B_TILE), jnp.int32)
+                    for bit in range(n):
+                        em = em + (cb_planes[stage][bit]
+                                   ^ r_planes[bit][t_row:t_row + 1, :])
                 return em, jnp.asarray(n, jnp.int32) - em
 
         def acs(first, second, em_pair, j):
@@ -629,6 +655,17 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
         m = m_ref[:]
         mA = mB = None
         for g in range(CHUNK_F // PACK):
+            if use_mxu:
+                # All three stages' edge metrics for this group in one
+                # int8 matmul: EM[s*HALF + b, j*B + c].
+                ones = jnp.ones((1, PACK * B_TILE), jnp.int8)
+                Rg = jnp.concatenate(
+                    [ones] + [r_planes[bit][g * PACK:(g + 1) * PACK]
+                              .reshape(1, PACK * B_TILE).astype(jnp.int8)
+                              for bit in range(n)], axis=0)  # (n+1, 8*B)
+                EM = jax.lax.dot_general(
+                    w_ref[:], Rg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (3*HALF, 8*B)
             acc = [jnp.zeros((Q8, B_TILE), D) for _ in range(8)]
 
             def add_acc(rows, start, acc=acc):
@@ -642,14 +679,15 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
                 stage = t_row % 3
                 if stage == 0:
                     # A: pairs (p, p+HALF) in natural order.
-                    em, emc = em_for(0, t_row)
+                    em, emc = em_for(0, t_row,
+                                     EM if use_mxu else None)
                     ev, od, de, do = acs(m[:HALF], m[HALF:], (em, emc), j)
                     mA = (ev, od)                               # sA layout
                     add_acc(de, 0)
                     add_acc(do, HALF)
                 elif stage == 1:
                     # B: pairs (r, r+Q4) inside each sA half.
-                    em, emc = em_for(1, t_row)
+                    em, emc = em_for(1, t_row, EM if use_mxu else None)
                     ev, od = mA
                     e1, o1, d1e, d1o = acs(ev[:Q4], ev[Q4:],
                                            (em[:Q4], emc[:Q4]), j)
@@ -662,7 +700,7 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
                     add_acc(d2o, 3 * Q4)
                 else:
                     # C: pairs (q, q+Q8) inside each sB block.
-                    em, emc = em_for(2, t_row)
+                    em, emc = em_for(2, t_row, EM if use_mxu else None)
                     outs = []
                     for c in range(4):
                         blk = mB[c]
@@ -1109,6 +1147,25 @@ def _stage_tables(spec: CodeSpec):
     return cbA, cbB, cbC
 
 
+#: Compute hard-path edge metrics on the MXU: one (3*NS/2, n+1) x
+#: (n+1, PACK*B) int8 matmul per 8-step group replaces the per-step
+#: broadcast-XOR chains (em = #set(cb) + sum_j (1-2*cb_j) * r_j).
+USE_MXU_EM = True
+
+
+def _em_weight_matrix(spec: CodeSpec) -> np.ndarray:
+    """[3 * NS/2, n+1] int8: rows = stage-ordered butterflies, columns =
+    [bias, coded-bit coefficients]."""
+    n = spec.n
+    stages = _stage_tables(spec)
+    rows = []
+    for cb in stages:
+        planes = [((cb >> j) & 1).astype(np.int64) for j in range(n)]
+        bias = sum(planes)
+        rows.append(np.stack([bias] + [1 - 2 * p for p in planes], axis=1))
+    return np.concatenate(rows, axis=0).astype(np.int8)
+
+
 def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     NS = spec.num_states
     HALF = NS // 2
@@ -1116,9 +1173,11 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     Q8 = NS // 8
     n = spec.n
     init_hi = init_metric_value(spec)
+    use_mxu = USE_MXU_EM and not soft
 
-    def kernel(cb_ref, seg_ref, dec_ref, m_ref):
+    def kernel(cb_ref, w_ref, seg_ref, dec_ref, m_ref):
         # cb_ref: (3, HALF, B) uint8 — per-stage butterfly tables
+        # w_ref:  (3*HALF, n+1) int8 — MXU edge-metric weights (hard path)
         # seg_ref: hard: (CHUNK_F, B) uint8 segments;
         #          soft: (CHUNK_F * n, B) int8 quantized LLRs (row t*n+j)
         # dec_ref: (CHUNK_F//PACK, NS, B) packed per-stage decisions
@@ -1137,7 +1196,7 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
         if soft:
             q_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F*n, B)
 
-            def em_for(stage, t_row):
+            def em_for(stage, t_row, EM=None):
                 # Soft branch metric: cost(bit) = relu(+q) for 1, relu(-q)
                 # for 0; complement emc = Q - em (ops/metrics.py).
                 em = jnp.zeros((HALF, B_TILE), jnp.int32)
@@ -1153,11 +1212,16 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
             seg_all = seg_ref[:].astype(jnp.int32)
             r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
 
-            def em_for(stage, t_row):
-                em = jnp.zeros((HALF, B_TILE), jnp.int32)
-                for bit in range(n):
-                    em = em + (cb_planes[stage][bit]
-                               ^ r_planes[bit][t_row:t_row + 1, :])
+            def em_for(stage, t_row, EM=None):
+                if EM is not None:
+                    j_in_g = t_row % PACK
+                    em = EM[stage * HALF:(stage + 1) * HALF,
+                            j_in_g * B_TILE:(j_in_g + 1) * B_TILE]
+                else:
+                    em = jnp.zeros((HALF, B_TILE), jnp.int32)
+                    for bit in range(n):
+                        em = em + (cb_planes[stage][bit]
+                                   ^ r_planes[bit][t_row:t_row + 1, :])
                 return em, jnp.asarray(n, jnp.int32) - em
 
         def acs(first, second, em_pair, j):
@@ -1187,6 +1251,17 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
         m = m_ref[:]
         mA = mB = None
         for g in range(CHUNK_F // PACK):
+            if use_mxu:
+                # All three stages' edge metrics for this group in one
+                # int8 matmul: EM[s*HALF + b, j*B + c].
+                ones = jnp.ones((1, PACK * B_TILE), jnp.int8)
+                Rg = jnp.concatenate(
+                    [ones] + [r_planes[bit][g * PACK:(g + 1) * PACK]
+                              .reshape(1, PACK * B_TILE).astype(jnp.int8)
+                              for bit in range(n)], axis=0)  # (n+1, 8*B)
+                EM = jax.lax.dot_general(
+                    w_ref[:], Rg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (3*HALF, 8*B)
             acc = [jnp.zeros((Q8, B_TILE), D) for _ in range(8)]
 
             def add_acc(rows, start, acc=acc):
@@ -1200,14 +1275,15 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
                 stage = t_row % 3
                 if stage == 0:
                     # A: pairs (p, p+HALF) in natural order.
-                    em, emc = em_for(0, t_row)
+                    em, emc = em_for(0, t_row,
+                                     EM if use_mxu else None)
                     ev, od, de, do = acs(m[:HALF], m[HALF:], (em, emc), j)
                     mA = (ev, od)                               # sA layout
                     add_acc(de, 0)
                     add_acc(do, HALF)
                 elif stage == 1:
                     # B: pairs (r, r+Q4) inside each sA half.
-                    em, emc = em_for(1, t_row)
+                    em, emc = em_for(1, t_row, EM if use_mxu else None)
                     ev, od = mA
                     e1, o1, d1e, d1o = acs(ev[:Q4], ev[Q4:],
                                            (em[:Q4], emc[:Q4]), j)
@@ -1220,7 +1296,7 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
                     add_acc(d2o, 3 * Q4)
                 else:
                     # C: pairs (q, q+Q8) inside each sB block.
-                    em, emc = em_for(2, t_row)
+                    em, emc = em_for(2, t_row, EM if use_mxu else None)
                     outs = []
                     for c in range(4):
                         blk = mB[c]
@@ -1359,10 +1435,13 @@ def acs_forward_batch_fused(spec: CodeSpec, segments,
     cb = jnp.asarray(np.broadcast_to(
         np.stack([cbA, cbB, cbC])[:, :, None],
         (3, NS // 2, B_TILE)).astype(np.uint8).copy())
+    W = jnp.asarray(_em_weight_matrix(spec))
     return pl.pallas_call(
         _fwd_kernel_fused(spec, nt),
         grid=(nb, nt),
         in_specs=[pl.BlockSpec((3, NS // 2, B_TILE), lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(W.shape, lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((CHUNK_F, B_TILE), lambda b, t: (t, b),
                                memory_space=pltpu.VMEM)],
@@ -1372,7 +1451,7 @@ def acs_forward_batch_fused(spec: CodeSpec, segments,
         out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
         interpret=interpret,
-    )(cb, seg_t)
+    )(cb, W, seg_t)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -1434,10 +1513,13 @@ def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
     cb = jnp.asarray(np.broadcast_to(
         np.stack([cbA, cbB, cbC])[:, :, None],
         (3, NS // 2, B_TILE)).astype(np.uint8).copy())
+    W = jnp.asarray(_em_weight_matrix(spec))   # unused on the soft path
     return pl.pallas_call(
         _fwd_kernel_fused(spec, nt, soft=True),
         grid=(nb, nt),
         in_specs=[pl.BlockSpec((3, NS // 2, B_TILE), lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(W.shape, lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((CHUNK_F * n, B_TILE), lambda b, t: (t, b),
                                memory_space=pltpu.VMEM)],
@@ -1447,4 +1529,4 @@ def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
         out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
         interpret=interpret,
-    )(cb, q_t)
+    )(cb, W, q_t)
