@@ -753,8 +753,11 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
             h_ref[:Q8] = hot_row0
             h_ref[Q8:] = jnp.zeros((NS - Q8, B_TILE), D)
 
-        def rsum(x):
-            return jnp.sum(x.astype(jnp.int32), axis=0, keepdims=True)
+        # Emitted bits: instead of reducing the odd-state mass to a
+        # scalar row every step (4 cross-sublane reductions/step), the
+        # 2^j-weighted odd-block one-hots accumulate across the group and
+        # are reduced ONCE per 8 steps — the packed byte is linear in
+        # them.  Every stage layout has exactly 4 odd-state Q8-blocks.
 
         # The one-hot state is carried as a LIST of 8 Q8-row blocks, so
         # every stage's select network is blockwise multiply/add with no
@@ -765,7 +768,7 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
         for g in range(CHUNK_F // PACK - 1, -1, -1):
             dec32 = dec_ref[g].astype(jnp.int32)
             db = [dec32[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
-            out_acc = jnp.zeros((1, B_TILE), jnp.int32)
+            oacc = [jnp.zeros((Q8, B_TILE), jnp.int32) for _ in range(4)]
             for j in range(PACK - 1, -1, -1):
                 t = chunk_start + g * PACK + j
                 stage = (g * PACK + j) % 3
@@ -773,15 +776,15 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
                 hb = [jnp.where(is_last, hz, hx)
                       for hz, hx in zip(hot0_b, hb)]
                 Dj = [((d_ >> j) & 1).astype(D) for d_ in db]
+                w = jnp.asarray(1 << j, jnp.int32)
                 if stage == 2:
                     # h natural -> sC (the forward transpose, inverted).
                     h_full = jnp.concatenate(hb, axis=0)
                     hsc = h_full.reshape(Q8, 8, B_TILE).transpose(1, 0, 2)
                     hb = [hsc[b_] for b_ in range(8)]
-                    # Emitted bit: odd states = odd sC blocks.
-                    odd = rsum(hb[1]) + rsum(hb[3]) + rsum(hb[5]) \
-                        + rsum(hb[7])
-                    out_acc = out_acc + (odd << j)
+                    # Odd states = odd sC blocks.
+                    for k_, b_ in enumerate((1, 3, 5, 7)):
+                        oacc[k_] = oacc[k_] + hb[b_] * w
                     # Pairs (block 2c, 2c+1) -> sB block c = (lo_c, hi_c).
                     nb = []
                     for c in range(4):
@@ -792,9 +795,8 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
                     hb = nb                                    # sB layout
                 elif stage == 1:
                     # Odd states (4r+c, c odd) = sB Q4-blocks 1 and 3.
-                    odd = rsum(hb[2]) + rsum(hb[3]) + rsum(hb[6]) \
-                        + rsum(hb[7])
-                    out_acc = out_acc + (odd << j)
+                    for k_, b_ in enumerate((2, 3, 6, 7)):
+                        oacc[k_] = oacc[k_] + hb[b_] * w
                     # sB halves -> sA halves; within each half, pairs are
                     # (row r, r + Q4) = (blocks 0..1, blocks 2..3).
                     nb = []
@@ -810,9 +812,8 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
                     hb = nb                                    # sA layout
                 else:
                     # Odd states = top sA half = blocks 4..7.
-                    odd = rsum(hb[4]) + rsum(hb[5]) + rsum(hb[6]) \
-                        + rsum(hb[7])
-                    out_acc = out_acc + (odd << j)
+                    for k_, b_ in enumerate((4, 5, 6, 7)):
+                        oacc[k_] = oacc[k_] + hb[b_] * w
                     nb = []
                     for b_ in range(4):
                         nb.append(hb[b_] * (one - Dj[b_])
@@ -821,6 +822,8 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
                         nb.append(hb[b_] * Dj[b_]
                                   + hb[b_ + 4] * Dj[b_ + 4])
                     hb = nb                                    # natural
+            out_acc = jnp.sum(oacc[0] + oacc[1] + oacc[2] + oacc[3],
+                              axis=0, keepdims=True)
             out_ref[g, 0, :] = out_acc.astype(jnp.uint8).reshape(B_TILE)
         for b_ in range(8):
             h_ref[b_ * Q8:(b_ + 1) * Q8] = hb[b_]
