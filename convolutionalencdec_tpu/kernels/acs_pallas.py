@@ -831,591 +831,6 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
     return kernel
 
 
-def _pad_to(x, multiple, axis, value=0):
-    size = x.shape[axis]
-    pad = (-size) % multiple
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths, constant_values=value)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def acs_forward_batch(spec: CodeSpec, segments, interpret: bool = False):
-    """Forward butterfly ACS over a batch of packets.
-
-    Args:
-      spec: a k=1 poly-symmetric code (validated).
-      segments: uint8 [B, T] hard n-bit coded segments (T may include
-        termination; callers pad T to a multiple of CHUNK with zeros —
-        `viterbi_decode_batch` does this).
-    Returns:
-      uint8 [T//PACK, NUM_STATES, B] packed decisions (butterfly order).
-    """
-    spec.validate_for_butterfly()
-    NS = spec.num_states
-    segments = jnp.asarray(segments, jnp.uint8)
-    B, T = segments.shape
-    if T % CHUNK or B % B_TILE:
-        raise ValueError(f"padded shapes required: T={T} %{CHUNK}, "
-                         f"B={B} %{B_TILE}")
-    seg_t = segments.T                                   # (T, B)
-    nt = T // CHUNK
-    nb = B // B_TILE
-    grid = (nb, nt)
-    cb_np = butterfly_coded_bits(spec)                   # [NS//2] uint8
-    cb = jnp.asarray(np.broadcast_to(cb_np[:, None],
-                                     (NS // 2, B_TILE)).copy())
-    out = pl.pallas_call(
-        _fwd_kernel(spec, nt),
-        grid=grid,
-        in_specs=[pl.BlockSpec((NS // 2, B_TILE), lambda b, t: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((CHUNK, B_TILE), lambda b, t: (t, b),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CHUNK // PACK, NS, B_TILE),
-                               lambda b, t: (t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
-        interpret=interpret,
-    )(cb, seg_t)
-    return out
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def traceback_batch(spec: CodeSpec, decisions, t_actual,
-                    interpret: bool = False):
-    """Backward one-hot traceback over packed decisions.
-
-    Args:
-      decisions: uint8 [T//PACK, NUM_STATES, B] from `acs_forward_batch`.
-      t_actual: scalar int32 — the real packet length T (steps beyond it
-        are padding).
-    Returns:
-      uint8 [T//PACK, B] packed decoded bits (bit j of row g = message bit
-      at trellis step g*PACK + j).
-    """
-    NS = spec.num_states
-    decisions = jnp.asarray(decisions, jnp.uint8)
-    TG, NS_, B = decisions.shape
-    assert NS_ == NS
-    nt = TG * PACK // CHUNK
-    nb = B // B_TILE
-    tlen = jnp.asarray(t_actual, jnp.int32).reshape(1, 1)
-    out = pl.pallas_call(
-        _tb_kernel(spec, nt),
-        grid=(nb, nt),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda b, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK // PACK, NS, B_TILE),
-                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((CHUNK // PACK, 1, B_TILE),
-                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((TG, 1, B), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
-        interpret=interpret,
-    )(tlen, decisions)
-    return out[:, 0, :]
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = None,
-                         interpret: bool = False):
-    """Hard-decision block decode of a batch of terminated packets.
-
-    The Pallas fast path: equivalent to `jax.vmap(viterbi_decode)` but
-    ~raw-VPU speed.  Bit-identical to the scan reference decoder.
-
-    Args:
-      segments: uint8 [B, T] hard segments, T = L + S for k=1.
-      message_bits: L; defaults to T - S.
-    Returns:
-      uint8 [B, L] decoded message bits.
-    """
-    spec.validate_for_butterfly()
-    segments = jnp.asarray(segments, jnp.uint8)
-    B, T = segments.shape
-    L = message_bits if message_bits is not None else T - spec.S
-    if spec.num_states >= 64:
-        # Fused 3-stage kernels: the de Bruijn shuffle amortized to one
-        # transpose per 3 steps (see below).
-        seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK_F, 1)
-        decs = acs_forward_batch_fused(spec, seg_p, interpret)
-        packed = traceback_batch_fused(spec, decs, T, interpret)
-    else:
-        seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK, 1)
-        decs = acs_forward_batch(spec, seg_p, interpret)
-        packed = traceback_batch(spec, decs, T, interpret)  # (Tp//8, Bp)
-    # Unpack time-packed bits: bit j of row g = step g*PACK + j.
-    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
-    bits = (packed[:, None, :] >> j) & 1                  # (Tp/8, 8, Bp)
-    bits = bits.reshape(-1, packed.shape[-1])             # (Tp, Bp)
-    return bits[:L, :B].T
-
-
-def _fwd_soft_kernel(spec: CodeSpec, nt: int):
-    """Soft-decision forward ACS: quantized-LLR branch metrics.
-
-    Identical trellis wiring to `_fwd_kernel`; the edge metric becomes
-    em[b] = sum_j cost_j(cb_j[b]) with cost_j(bit) = relu(+q_j) for bit 1
-    and relu(-q_j) for bit 0 (ops/metrics.py), and the poly-symmetry
-    complement generalizes to emc = Q - em with Q = sum_j |q_j|
-    (viterbiDecoder.h:33-39's trick with a per-step scalar instead of the
-    constant n).  A zero LLR is an erasure and contributes no cost —
-    depunctured positions (ops/puncture.py) ride through unchanged.
-    """
-    NS = spec.num_states
-    HALF = NS // 2
-    n = spec.n
-    init_hi = init_metric_value(spec)
-
-    def kernel(cb_ref, q_ref, dec_ref, m_ref):
-        # q_ref: (CHUNK * n, B) int8 quantized LLRs, row t*n + j holds
-        #        coded bit j of trellis step t.
-        t_chunk = pl.program_id(1)
-        D = COMPUTE_DTYPE
-        cb32 = cb_ref[:].astype(jnp.int32)
-        cb_planes = [(cb32 >> bit) & 1 for bit in range(n)]
-
-        @pl.when(t_chunk == 0)
-        def _():
-            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
-            m_ref[:] = jnp.where(s_idx == spec.starting_state,
-                                 0, init_hi).astype(D)
-
-        q_all = q_ref[:].astype(jnp.int32)         # (CHUNK*n, B)
-        zero = jnp.asarray(0, D)
-        m = m_ref[:]
-        for g in range(CHUNK // PACK):
-            acc_e = jnp.zeros((HALF, B_TILE), D)
-            acc_o = jnp.zeros((HALF, B_TILE), D)
-            for j in range(PACK):
-                t_row = g * PACK + j
-                em = jnp.zeros((HALF, B_TILE), D)
-                Q = jnp.zeros((1, B_TILE), D)
-                for bit in range(n):
-                    q = q_all[t_row * n + bit:t_row * n + bit + 1, :]
-                    c1 = jnp.maximum(q, 0)          # cost if coded bit = 1
-                    c0 = jnp.maximum(-q, 0)         # cost if coded bit = 0
-                    Q = Q + c1 + c0                 # |q|
-                    em = em + jnp.where(cb_planes[bit] == 1, c1, c0)
-                emc = Q - em
-                m_lo, m_hi = m[:HALF], m[HALF:]
-                a0 = m_lo + em
-                a1 = m_hi + emc
-                b0 = m_lo + emc
-                b1 = m_hi + em
-                z = jnp.asarray(0, D)
-                w = jnp.asarray(1 << j, D)
-                even = jnp.minimum(a0, a1)
-                odd = jnp.minimum(b0, b1)
-                acc_e = acc_e + jnp.where(a0 > a1, w, z)
-                acc_o = acc_o + jnp.where(b0 > b1, w, z)
-                m = jnp.stack([even, odd], axis=1).reshape(NS, B_TILE)
-            mn = jnp.min(m.astype(jnp.int32), axis=0, keepdims=True)
-            m = m - mn.astype(D)
-            dec_ref[g, :HALF, :] = acc_e.astype(jnp.uint8)
-            dec_ref[g, HALF:, :] = acc_o.astype(jnp.uint8)
-        m_ref[:] = m
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def acs_forward_batch_soft(spec: CodeSpec, qllrs, interpret: bool = False):
-    """Soft forward ACS over a batch.
-
-    Args:
-      qllrs: int8 [B, T, n] quantized LLRs (T padded to CHUNK; zero rows
-        are erasures, so padding is harmless).
-    Returns:
-      uint8 [T//PACK, NUM_STATES, B] packed decisions (butterfly order).
-    """
-    spec.validate_for_butterfly()
-    NS = spec.num_states
-    n = spec.n
-    qllrs = jnp.asarray(qllrs, jnp.int8)
-    B, T, n_ = qllrs.shape
-    assert n_ == n
-    if T % CHUNK or B % B_TILE:
-        raise ValueError(f"padded shapes required: T={T} %{CHUNK}, "
-                         f"B={B} %{B_TILE}")
-    q_t = qllrs.transpose(1, 2, 0).reshape(T * n, B)     # (T*n, B)
-    nt = T // CHUNK
-    nb = B // B_TILE
-    cb_np = butterfly_coded_bits(spec)
-    cb = jnp.asarray(np.broadcast_to(cb_np[:, None],
-                                     (NS // 2, B_TILE)).copy())
-    return pl.pallas_call(
-        _fwd_soft_kernel(spec, nt),
-        grid=(nb, nt),
-        in_specs=[pl.BlockSpec((NS // 2, B_TILE), lambda b, t: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((CHUNK * n, B_TILE), lambda b, t: (t, b),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CHUNK // PACK, NS, B_TILE),
-                               lambda b, t: (t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
-        interpret=interpret,
-    )(cb, q_t)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
-                              message_bits: int | None = None,
-                              interpret: bool = False):
-    """Soft-decision block decode of a batch of terminated packets.
-
-    Bit-identical to `ops.metrics.viterbi_forward_butterfly_soft` +
-    terminated traceback, batched.  Hard inputs mapped to ±1 LLRs decode
-    identically to the hard kernel.
-
-    Args:
-      qllrs: int [B, T, n] quantized LLRs (see ops/metrics.quantize_llrs).
-    Returns:
-      uint8 [B, L] decoded message bits (L = T - S by default).
-    """
-    spec.validate_for_butterfly()
-    qllrs = jnp.asarray(qllrs, jnp.int8)
-    B, T, n = qllrs.shape
-    L = message_bits if message_bits is not None else T - spec.S
-    if spec.num_states >= 64:
-        q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK_F, 1)
-        decs = acs_forward_batch_fused_soft(spec, q_p, interpret)
-        packed = traceback_batch_fused(spec, decs, T, interpret)
-    else:
-        q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK, 1)
-        decs = acs_forward_batch_soft(spec, q_p, interpret)
-        packed = traceback_batch(spec, decs, T, interpret)
-    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
-    bits = (packed[:, None, :] >> j) & 1
-    bits = bits.reshape(-1, packed.shape[-1])
-    return bits[:L, :B].T
-
-
-# ---------------------------------------------------------------------------
-# Fused 3-stage kernels (NS >= 64): the de Bruijn shuffle amortized.
-#
-# The butterfly trellis forces one perfect-shuffle relayout per step when
-# metrics are kept in natural state order (the jnp.stack interleave above,
-# measured at ~35% of forward-kernel time).  Fusing three consecutive
-# trellis steps removes it: each step's outputs are kept in the "stage
-# layout" its butterflies naturally produce, and the next step's butterfly
-# pairings become contiguous >=8-row slices of that layout:
-#
-#   natural:  pos p        <-> state p
-#   stage A out (sA):      pos i -> state 2i        (i < NS/2)
-#                          pos NS/2 + i -> 2i + 1
-#   stage B out (sB):      4 blocks of NS/4: block c, row r -> state 4r + c
-#   stage C out (sC):      8 blocks of NS/8: block b, row q -> state 8q + b
-#
-#   A pairs (p, p+NS/2) in natural;  B pairs (r, r+NS/4) inside each sA
-#   half;  C pairs (q, q+NS/8) inside each sB block.  One (8, NS/8)
-#   sublane transpose converts sC back to natural per 3 steps.
-#
-# The traceback mirrors this: carrying the one-hot state vector in the
-# matching stage layout turns the per-step (NS/2, 2, B) de-interleave into
-# pure slice arithmetic, with the same one transpose per 3 steps.  State 0
-# sits at row 0 in every layout, so the t == T-1 reset is layout-blind.
-#
-# Requires NS >= 64 so the smallest slice (NS/8) fills a sublane tile;
-# smaller codes use the generic kernels above.
-# ---------------------------------------------------------------------------
-
-CHUNK_F = 48   # fused-kernel steps per program: divisible by 3 and by PACK
-
-
-def _stage_tables(spec: CodeSpec):
-    """Butterfly coded-bit tables permuted into each stage's pair order."""
-    bcb = butterfly_coded_bits(spec).astype(np.int64)   # [NS/2], label x
-    half = spec.num_states // 2
-    q4 = half // 2   # NS/4
-    q8 = half // 4   # NS/8
-    # Stage A: labels in natural order.
-    cbA = bcb
-    # Stage B: ev-sub labels 2r (r < NS/4), then od-sub labels 2r+1.
-    r = np.arange(q4)
-    cbB = np.concatenate([bcb[2 * r], bcb[2 * r + 1]])
-    # Stage C: 4 blocks (c = 0..3) of labels 4q + c, q < NS/8.
-    q = np.arange(q8)
-    cbC = np.concatenate([bcb[4 * q + c] for c in range(4)])
-    return cbA, cbB, cbC
-
-
-#: Compute hard-path edge metrics on the MXU: one (3*NS/2, n+1) x
-#: (n+1, PACK*B) int8 matmul per 8-step group replaces the per-step
-#: broadcast-XOR chains (em = #set(cb) + sum_j (1-2*cb_j) * r_j).
-USE_MXU_EM = True
-
-
-def _em_weight_matrix(spec: CodeSpec) -> np.ndarray:
-    """[3 * NS/2, n+1] int8: rows = stage-ordered butterflies, columns =
-    [bias, coded-bit coefficients]."""
-    n = spec.n
-    stages = _stage_tables(spec)
-    rows = []
-    for cb in stages:
-        planes = [((cb >> j) & 1).astype(np.int64) for j in range(n)]
-        bias = sum(planes)
-        rows.append(np.stack([bias] + [1 - 2 * p for p in planes], axis=1))
-    return np.concatenate(rows, axis=0).astype(np.int8)
-
-
-def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
-    NS = spec.num_states
-    HALF = NS // 2
-    Q4 = NS // 4
-    Q8 = NS // 8
-    n = spec.n
-    init_hi = init_metric_value(spec)
-    use_mxu = USE_MXU_EM and not soft
-
-    def kernel(cb_ref, w_ref, seg_ref, dec_ref, m_ref):
-        # cb_ref: (3, HALF, B) uint8 — per-stage butterfly tables
-        # w_ref:  (3*HALF, n+1) int8 — MXU edge-metric weights (hard path)
-        # seg_ref: hard: (CHUNK_F, B) uint8 segments;
-        #          soft: (CHUNK_F * n, B) int8 quantized LLRs (row t*n+j)
-        # dec_ref: (CHUNK_F//PACK, NS, B) packed per-stage decisions
-        # m_ref: (NS, B) int32 scratch, natural order at chunk boundaries
-        t_chunk = pl.program_id(1)
-        D = COMPUTE_DTYPE
-
-        @pl.when(t_chunk == 0)
-        def _():
-            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
-            m_ref[:] = jnp.where(s_idx == spec.starting_state,
-                                 0, init_hi).astype(D)
-
-        cb_planes = [[(cb_ref[s].astype(jnp.int32) >> bit) & 1
-                      for bit in range(n)] for s in range(3)]
-        if soft:
-            q_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F*n, B)
-
-            def em_for(stage, t_row, EM=None):
-                # Soft branch metric: cost(bit) = relu(+q) for 1, relu(-q)
-                # for 0; complement emc = Q - em (ops/metrics.py).
-                em = jnp.zeros((HALF, B_TILE), jnp.int32)
-                Q = jnp.zeros((1, B_TILE), jnp.int32)
-                for bit in range(n):
-                    q = q_all[t_row * n + bit:t_row * n + bit + 1, :]
-                    c1 = jnp.maximum(q, 0)
-                    c0 = jnp.maximum(-q, 0)
-                    Q = Q + c1 + c0
-                    em = em + jnp.where(cb_planes[stage][bit] == 1, c1, c0)
-                return em, Q - em
-        else:
-            seg_all = seg_ref[:].astype(jnp.int32)
-            r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
-
-            def em_for(stage, t_row, EM=None):
-                if EM is not None:
-                    j_in_g = t_row % PACK
-                    em = EM[stage * HALF:(stage + 1) * HALF,
-                            j_in_g * B_TILE:(j_in_g + 1) * B_TILE]
-                else:
-                    em = jnp.zeros((HALF, B_TILE), jnp.int32)
-                    for bit in range(n):
-                        em = em + (cb_planes[stage][bit]
-                                   ^ r_planes[bit][t_row:t_row + 1, :])
-                return em, jnp.asarray(n, jnp.int32) - em
-
-        def acs(first, second, em_pair, j):
-            """One half-butterfly batch: returns (ev, od, packed-dec pair).
-
-            first/second: low/high source metric blocks (same shape as em).
-            """
-            em, emc = em_pair
-            a0 = first + em
-            a1 = second + emc
-            b0 = first + emc
-            b1 = second + em
-            z = jnp.asarray(0, D)
-            w = jnp.asarray(1 << j, D)
-            ev = jnp.minimum(a0, a1)
-            od = jnp.minimum(b0, b1)
-            de = jnp.where(a0 > a1, w, z)
-            do = jnp.where(b0 > b1, w, z)
-            return ev, od, de, do
-
-        # Metrics are carried as a LIST of row-blocks rather than one
-        # (NS, B) array: stage pairings are then pure slices/relabels, and
-        # no jnp.concatenate materializes copies inside the hot loop.  The
-        # only materializing relayout is the sC -> natural transpose, once
-        # per 3 steps.  Decision contributions accumulate into per-8-row
-        # blocks the same way.
-        m = m_ref[:]
-        mA = mB = None
-        for g in range(CHUNK_F // PACK):
-            if use_mxu:
-                # All three stages' edge metrics for this group in one
-                # int8 matmul: EM[s*HALF + b, j*B + c].
-                ones = jnp.ones((1, PACK * B_TILE), jnp.int8)
-                Rg = jnp.concatenate(
-                    [ones] + [r_planes[bit][g * PACK:(g + 1) * PACK]
-                              .reshape(1, PACK * B_TILE).astype(jnp.int8)
-                              for bit in range(n)], axis=0)  # (n+1, 8*B)
-                EM = jax.lax.dot_general(
-                    w_ref[:], Rg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # (3*HALF, 8*B)
-            acc = [jnp.zeros((Q8, B_TILE), D) for _ in range(8)]
-
-            def add_acc(rows, start, acc=acc):
-                nblk = rows.shape[0] // Q8
-                for b_ in range(nblk):
-                    idx = start // Q8 + b_
-                    acc[idx] = acc[idx] + rows[b_ * Q8:(b_ + 1) * Q8]
-
-            for j in range(PACK):
-                t_row = g * PACK + j
-                stage = t_row % 3
-                if stage == 0:
-                    # A: pairs (p, p+HALF) in natural order.
-                    em, emc = em_for(0, t_row,
-                                     EM if use_mxu else None)
-                    ev, od, de, do = acs(m[:HALF], m[HALF:], (em, emc), j)
-                    mA = (ev, od)                               # sA layout
-                    add_acc(de, 0)
-                    add_acc(do, HALF)
-                elif stage == 1:
-                    # B: pairs (r, r+Q4) inside each sA half.
-                    em, emc = em_for(1, t_row, EM if use_mxu else None)
-                    ev, od = mA
-                    e1, o1, d1e, d1o = acs(ev[:Q4], ev[Q4:],
-                                           (em[:Q4], emc[:Q4]), j)
-                    e2, o2, d2e, d2o = acs(od[:Q4], od[Q4:],
-                                           (em[Q4:], emc[Q4:]), j)
-                    mB = (e1, o1, e2, o2)                       # sB layout
-                    add_acc(d1e, 0)
-                    add_acc(d1o, Q4)
-                    add_acc(d2e, 2 * Q4)
-                    add_acc(d2o, 3 * Q4)
-                else:
-                    # C: pairs (q, q+Q8) inside each sB block.
-                    em, emc = em_for(2, t_row, EM if use_mxu else None)
-                    outs = []
-                    for c in range(4):
-                        blk = mB[c]
-                        e, o, de, do = acs(blk[:Q8], blk[Q8:],
-                                           (em[c * Q8:(c + 1) * Q8],
-                                            emc[c * Q8:(c + 1) * Q8]), j)
-                        outs += [e, o]
-                        add_acc(de, 2 * c * Q8)
-                        add_acc(do, (2 * c + 1) * Q8)
-                    # sC -> natural: state 8q + b sits at row b*Q8 + q.
-                    m = jnp.stack(outs, axis=0).transpose(1, 0, 2) \
-                           .reshape(NS, B_TILE)
-            # Renormalize when the group ends on a stage-2 step (then
-            # `m` holds the live natural-order metrics; after stage-0/1
-            # endings the live state is mA/mB and m is stale).  Effective
-            # cadence: once per 24 steps — ample for int32 headroom.
-            if (g * PACK + PACK - 1) % 3 == 2:
-                mn = jnp.min(m, axis=0, keepdims=True)
-                m = m - mn
-            for b_ in range(8):
-                dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = \
-                    acc[b_].astype(jnp.uint8)
-        m_ref[:] = m
-
-    return kernel
-
-
-def _tb_kernel_fused(spec: CodeSpec, nt: int):
-    NS = spec.num_states
-    HALF = NS // 2
-    Q4 = NS // 4
-    Q8 = NS // 8
-
-    def kernel(tlen_ref, dec_ref, out_ref, h_ref):
-        i = pl.program_id(1)
-        nt_total = pl.num_programs(1)
-        chunk_start = (nt_total - 1 - i) * CHUNK_F
-        T = tlen_ref[0, 0]
-        D = COMPUTE_DTYPE
-        one = jnp.asarray(1, D)
-
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
-        hot0 = jnp.where(s_idx == 0, 1, 0).astype(D)
-
-        @pl.when(i == 0)
-        def _():
-            h_ref[:] = hot0
-
-        h = h_ref[:]   # natural order at chunk boundaries (cycle-aligned)
-        for g in range(CHUNK_F // PACK - 1, -1, -1):
-            dec32 = dec_ref[g].astype(jnp.int32)
-            out_acc = jnp.zeros((1, B_TILE), jnp.int32)
-            for j in range(PACK - 1, -1, -1):
-                t_loc = g * PACK + j
-                t = chunk_start + t_loc
-                stage = t_loc % 3
-                h = jnp.where(t == T - 1, hot0, h)  # state 0 = row 0 always
-                Dj = ((dec32 >> j) & 1).astype(D)
-                if stage == 2:
-                    # h is natural (post-C); convert to sC, then step back.
-                    h = h.reshape(Q8, 8, B_TILE).transpose(1, 0, 2) \
-                         .reshape(NS, B_TILE)
-                    # Emitted bit: odd states = odd b blocks of sC.
-                    odd = sum(jnp.sum(h[(2 * c + 1) * Q8:(2 * c + 2) * Q8]
-                                      .astype(jnp.int32), axis=0,
-                                      keepdims=True) for c in range(4))
-                    out_acc = out_acc + (odd << j)
-                    # Select network C: dst pair rows (2c*Q8+q, (2c+1)*Q8+q)
-                    # -> preds at sB block c rows (q, q+Q8).
-                    blocks = []
-                    for c in range(4):
-                        h0 = h[(2 * c) * Q8:(2 * c + 1) * Q8]
-                        h1 = h[(2 * c + 1) * Q8:(2 * c + 2) * Q8]
-                        d0 = Dj[(2 * c) * Q8:(2 * c + 1) * Q8]
-                        d1 = Dj[(2 * c + 1) * Q8:(2 * c + 2) * Q8]
-                        lo = h0 * (one - d0) + h1 * (one - d1)
-                        hi = h0 * d0 + h1 * d1
-                        blocks.append(jnp.concatenate([lo, hi], axis=0))
-                    h = jnp.concatenate(blocks, axis=0)        # sB layout
-                elif stage == 1:
-                    # h in sB; emitted bit: odd states 4r+c with c odd =
-                    # blocks 1 and 3.
-                    odd = (jnp.sum(h[Q4:2 * Q4].astype(jnp.int32), axis=0,
-                                   keepdims=True)
-                           + jnp.sum(h[3 * Q4:].astype(jnp.int32), axis=0,
-                                     keepdims=True))
-                    out_acc = out_acc + (odd << j)
-                    # Blocks (0,1) -> sA ev half rows (r, r+Q4);
-                    # blocks (2,3) -> sA od half.
-                    h0, h1 = h[:Q4], h[Q4:2 * Q4]
-                    h2, h3 = h[2 * Q4:3 * Q4], h[3 * Q4:]
-                    d0, d1 = Dj[:Q4], Dj[Q4:2 * Q4]
-                    d2, d3 = Dj[2 * Q4:3 * Q4], Dj[3 * Q4:]
-                    ev = jnp.concatenate(
-                        [h0 * (one - d0) + h1 * (one - d1),
-                         h0 * d0 + h1 * d1], axis=0)
-                    od = jnp.concatenate(
-                        [h2 * (one - d2) + h3 * (one - d3),
-                         h2 * d2 + h3 * d3], axis=0)
-                    h = jnp.concatenate([ev, od], axis=0)      # sA layout
-                else:
-                    # h in sA; emitted bit: odd states = top half of sA.
-                    odd = jnp.sum(h[HALF:].astype(jnp.int32), axis=0,
-                                  keepdims=True)
-                    out_acc = out_acc + (odd << j)
-                    h0, h1 = h[:HALF], h[HALF:]
-                    d0, d1 = Dj[:HALF], Dj[HALF:]
-                    h = jnp.concatenate(
-                        [h0 * (one - d0) + h1 * (one - d1),
-                         h0 * d0 + h1 * d1], axis=0)           # natural
-            out_ref[g, 0, :] = out_acc.astype(jnp.uint8).reshape(B_TILE)
-        h_ref[:] = h
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_fused(spec: CodeSpec, segments,
                             interpret: bool = False):

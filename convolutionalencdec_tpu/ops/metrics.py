@@ -33,9 +33,12 @@ from ..params import CodeSpec
 from .trellis import butterfly_coded_bits, edge_coded_bits
 from .viterbi import init_metric_value, traceback_terminated
 
-#: Default quantizer ceiling: 3-bit magnitudes keep uint8 path metrics safe
-#: in the Pallas kernel (spread <= qmax*n*S, growth <= 8*n*qmax per renorm
-#: group) while giving up only ~0.1-0.2 dB versus unquantized soft decoding.
+#: Default quantizer ceiling.  In-kernel path metrics are int32 (the TPU
+#: vector ALU is int32-only; narrow dtypes are HBM-side storage only), so
+#: overflow is never the constraint — what qmax=7 bounds is the metric
+#: *spread* (<= qmax*n*S), which `init_metric_value`'s clamp relies on, and
+#: the MXU edge-metric planes' dynamic range.  3-bit magnitudes give up only
+#: ~0.1-0.2 dB versus unquantized soft decoding.
 DEFAULT_QMAX = 7
 
 

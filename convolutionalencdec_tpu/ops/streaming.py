@@ -125,7 +125,16 @@ class StreamingEncoder:
 class StreamingDecoder:
     """Stateful chunked sliding-window decoder (decode delay =
     traceback_len), auto-resetting at `last` like the reference
-    (viterbiDecoderButterflyk1.c:258)."""
+    (viterbiDecoderButterflyk1.c:258).
+
+    Caller contract (enforced): one packet per `last=True` cycle, and the
+    chunk passed with `last=True` must END exactly at the packet's final
+    (termination) segment — the flush drops the trailing S termination
+    symbols from the undecoded window, which is only exact when those
+    steps are the last ones consumed.  Feeding further segments after the
+    termination without `last=True` would stream the termination symbols
+    out as data; `decode` guards this by requiring every `last=True` call
+    to consume at least one segment."""
     spec: CodeSpec
     traceback_len: int = 0
 
@@ -135,18 +144,23 @@ class StreamingDecoder:
 
     def decode(self, segments, last: bool = False) -> np.ndarray:
         """Feed a chunk; returns the newly decoded message bits."""
+        segments = jnp.asarray(segments, jnp.uint8)
+        if last and segments.shape[0] == 0:
+            raise ValueError(
+                "StreamingDecoder: the last=True chunk must contain the "
+                "packet's final segments (see class docstring); got an "
+                "empty chunk, so the termination steps were already "
+                "streamed and the flush accounting would be wrong.")
         self._state, symbols, valid = decode_chunk(
-            self.spec, self._state, jnp.asarray(segments, jnp.uint8),
-            self.traceback_len)
+            self.spec, self._state, segments, self.traceback_len)
         out = np.asarray(symbols)[np.asarray(valid)]
         if last:
+            # The termination symbols are the last S steps consumed, so
+            # they sit inside the final W-1 window; decode_flush excludes
+            # them and the streamed portion above never reaches them.
             flush = np.asarray(decode_flush(self.spec, self._state,
                                             self.traceback_len))
             out = np.concatenate([out, flush])
-            # Drop the S termination symbols (already excluded from the
-            # flush) — but the streamed portion may include them if the
-            # packet ended more than W steps ago; the caller feeds whole
-            # packets, so the flush accounting is exact here.
             self.reset()
         return _symbols_to_bits(self.spec, out)
 
