@@ -533,6 +533,15 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
 
 CHUNK_F = 48   # fused-kernel steps per program: divisible by 3 and by PACK
 
+# Fused-kernel arithmetic is int32 (the only fully-legalized vector dtype
+# on this toolchain) with a shared-compare ACS: `jnp.minimum` on int32
+# lowers to compare+select, so computing the compare once and deriving
+# both the surviving metric and the decision from it saves one compare
+# per half-butterfly per step.  (A float32 variant was measured: its
+# native single-op min is cancelled out by int<->float conversions at the
+# bit-packing boundaries — net slower.)
+CDT = jnp.int32
+
 
 def _stage_tables(spec: CodeSpec):
     """Butterfly coded-bit tables permuted into each stage's pair order."""
@@ -551,15 +560,13 @@ def _stage_tables(spec: CodeSpec):
     return cbA, cbB, cbC
 
 
-#: Compute hard-path edge metrics on the MXU: one (3*NS/2, n+1) x
-#: (n+1, PACK*B) int8 matmul per 8-step group replaces the per-step
-#: broadcast-XOR chains (em = #set(cb) + sum_j (1-2*cb_j) * r_j).
-USE_MXU_EM = True
-
-
 def _em_weight_matrix(spec: CodeSpec) -> np.ndarray:
-    """[3 * NS/2, n+1] int8: rows = stage-ordered butterflies, columns =
-    [bias, coded-bit coefficients]."""
+    """Hard-path MXU edge-metric weights, [3 * NS/2, n+1] int8.
+
+    em = popcount(cb ^ r) = #set(cb) + sum_j (1 - 2*cb_j) * r_j, so one
+    (3*NS/2, n+1) x (n+1, PACK*B) matmul per 8-step group produces all
+    three stages' edge metrics (rows = stage-ordered butterflies, columns
+    = [bias, received-bit-plane coefficients])."""
     n = spec.n
     stages = _stage_tables(spec)
     rows = []
@@ -570,6 +577,25 @@ def _em_weight_matrix(spec: CodeSpec) -> np.ndarray:
     return np.concatenate(rows, axis=0).astype(np.int8)
 
 
+def _em_weight_matrix_soft(spec: CodeSpec) -> np.ndarray:
+    """Soft-path MXU edge-metric weights, [3 * NS/2 + 1, 2n].
+
+    The soft branch metric em = sum_j [cb_j * relu(+q_j) +
+    (1-cb_j) * relu(-q_j)] is linear in the 2n relu planes, so it rides
+    the same per-group matmul as the hard path; the appended all-ones row
+    produces Q = sum_j |q_j|, from which the complement emc = Q - em
+    (the per-step-scalar generalization of viterbiDecoder.h:33-39)."""
+    n = spec.n
+    stages = _stage_tables(spec)
+    rows = []
+    for cb in stages:
+        planes = [((cb >> j) & 1).astype(np.int64) for j in range(n)]
+        # columns: [c1_0 .. c1_{n-1}, c0_0 .. c0_{n-1}]
+        rows.append(np.stack(planes + [1 - p for p in planes], axis=1))
+    rows.append(np.ones((1, 2 * n), np.int64))
+    return np.concatenate(rows, axis=0).astype(np.int8)
+
+
 def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     NS = spec.num_states
     HALF = NS // 2
@@ -577,73 +603,49 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     Q8 = NS // 8
     n = spec.n
     init_hi = init_metric_value(spec)
-    use_mxu = USE_MXU_EM and not soft
 
-    def kernel(cb_ref, w_ref, seg_ref, dec_ref, m_ref):
-        # cb_ref: (3, HALF, B) uint8 — per-stage butterfly tables
-        # w_ref:  (3*HALF, n+1) int8 — MXU edge-metric weights (hard path)
-        # seg_ref: hard: (CHUNK_F, B) uint8 segments;
-        #          soft: (CHUNK_F * n, B) int8 quantized LLRs (row t*n+j)
+    def kernel(w_ref, seg_ref, dec_ref, m_ref):
+        # w_ref:  MXU edge-metric weights, bf16 —
+        #         hard (3*HALF, n+1); soft (3*HALF + 1, 2n)
+        # seg_ref: hard (CHUNK_F, B) uint8 segments;
+        #          soft (n, CHUNK_F, B) int8 quantized LLRs
         # dec_ref: (CHUNK_F//PACK, NS, B) packed per-stage decisions
-        # m_ref: (NS, B) int32 scratch, natural order at chunk boundaries
+        # m_ref: (NS, B) f32 scratch, natural order at chunk boundaries
         t_chunk = pl.program_id(1)
-        D = COMPUTE_DTYPE
 
         @pl.when(t_chunk == 0)
         def _():
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
-                                 0, init_hi).astype(D)
+                                 0, init_hi).astype(CDT)
 
-        cb_planes = [[(cb_ref[s].astype(jnp.int32) >> bit) & 1
-                      for bit in range(n)] for s in range(3)]
         if soft:
-            q_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F*n, B)
-
-            def em_for(stage, t_row, EM=None):
-                # Soft branch metric: cost(bit) = relu(+q) for 1, relu(-q)
-                # for 0; complement emc = Q - em (ops/metrics.py).
-                em = jnp.zeros((HALF, B_TILE), jnp.int32)
-                Q = jnp.zeros((1, B_TILE), jnp.int32)
-                for bit in range(n):
-                    q = q_all[t_row * n + bit:t_row * n + bit + 1, :]
-                    c1 = jnp.maximum(q, 0)
-                    c0 = jnp.maximum(-q, 0)
-                    Q = Q + c1 + c0
-                    em = em + jnp.where(cb_planes[stage][bit] == 1, c1, c0)
-                return em, Q - em
+            q32 = seg_ref[:].astype(jnp.int32)         # (n, CHUNK_F, B)
+            c1 = jnp.maximum(q32, 0)                   # cost if coded bit 1
+            c0 = jnp.maximum(-q32, 0)                  # cost if coded bit 0
         else:
-            seg_all = seg_ref[:].astype(jnp.int32)
+            seg_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F, B)
             r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
+            ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
+        nF = jnp.asarray(n, CDT)
 
-            def em_for(stage, t_row, EM=None):
-                if EM is not None:
-                    j_in_g = t_row % PACK
-                    em = EM[stage * HALF:(stage + 1) * HALF,
-                            j_in_g * B_TILE:(j_in_g + 1) * B_TILE]
-                else:
-                    em = jnp.zeros((HALF, B_TILE), jnp.int32)
-                    for bit in range(n):
-                        em = em + (cb_planes[stage][bit]
-                                   ^ r_planes[bit][t_row:t_row + 1, :])
-                return em, jnp.asarray(n, jnp.int32) - em
-
-        def acs(first, second, em_pair, j):
+        def acs(first, second, em, emc, j):
             """One half-butterfly batch: returns (ev, od, packed-dec pair).
 
             first/second: low/high source metric blocks (same shape as em).
             """
-            em, emc = em_pair
             a0 = first + em
             a1 = second + emc
             b0 = first + emc
             b1 = second + em
-            z = jnp.asarray(0, D)
-            w = jnp.asarray(1 << j, D)
-            ev = jnp.minimum(a0, a1)
-            od = jnp.minimum(b0, b1)
-            de = jnp.where(a0 > a1, w, z)
-            do = jnp.where(b0 > b1, w, z)
+            z = jnp.asarray(0, CDT)
+            w = jnp.asarray(1 << j, CDT)
+            gt_e = a0 > a1
+            gt_o = b0 > b1
+            ev = jnp.where(gt_e, a1, a0)   # shared compare: min + decision
+            od = jnp.where(gt_o, b1, b0)   # (tie keeps the low source)
+            de = jnp.where(gt_e, w, z)
+            do = jnp.where(gt_o, w, z)
             return ev, od, de, do
 
         # Metrics are carried as a LIST of row-blocks rather than one
@@ -655,18 +657,33 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
         m = m_ref[:]
         mA = mB = None
         for g in range(CHUNK_F // PACK):
-            if use_mxu:
-                # All three stages' edge metrics for this group in one
-                # int8 matmul: EM[s*HALF + b, j*B + c].
-                ones = jnp.ones((1, PACK * B_TILE), jnp.int8)
-                Rg = jnp.concatenate(
-                    [ones] + [r_planes[bit][g * PACK:(g + 1) * PACK]
-                              .reshape(1, PACK * B_TILE).astype(jnp.int8)
-                              for bit in range(n)], axis=0)  # (n+1, 8*B)
-                EM = jax.lax.dot_general(
-                    w_ref[:], Rg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # (3*HALF, 8*B)
-            acc = [jnp.zeros((Q8, B_TILE), D) for _ in range(8)]
+            # All three stages' edge metrics for this 8-step group in one
+            # bf16 MXU matmul with f32 accumulation (exact: all operands
+            # are small integers).  EM[s*HALF + b, j*B + c].
+            if soft:
+                rows = [c1[bit, g * PACK:(g + 1) * PACK]
+                        .reshape(1, PACK * B_TILE) for bit in range(n)]
+                rows += [c0[bit, g * PACK:(g + 1) * PACK]
+                         .reshape(1, PACK * B_TILE) for bit in range(n)]
+            else:
+                rows = [ones_row] + [
+                    r_planes[bit][g * PACK:(g + 1) * PACK]
+                    .reshape(1, PACK * B_TILE) for bit in range(n)]
+            Rg = jnp.concatenate(rows, axis=0).astype(jnp.int8)
+            EM = jax.lax.dot_general(
+                w_ref[:], Rg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)   # (3*HALF [+1], 8*B)
+
+            def em_for(stage, j):
+                em = EM[stage * HALF:(stage + 1) * HALF,
+                        j * B_TILE:(j + 1) * B_TILE]
+                if soft:
+                    q_row = EM[3 * HALF:3 * HALF + 1,
+                               j * B_TILE:(j + 1) * B_TILE]
+                    return em, q_row - em
+                return em, nF - em
+
+            acc = [jnp.zeros((Q8, B_TILE), CDT) for _ in range(8)]
 
             def add_acc(rows, start, acc=acc):
                 nblk = rows.shape[0] // Q8
@@ -679,20 +696,19 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
                 stage = t_row % 3
                 if stage == 0:
                     # A: pairs (p, p+HALF) in natural order.
-                    em, emc = em_for(0, t_row,
-                                     EM if use_mxu else None)
-                    ev, od, de, do = acs(m[:HALF], m[HALF:], (em, emc), j)
+                    em, emc = em_for(0, j)
+                    ev, od, de, do = acs(m[:HALF], m[HALF:], em, emc, j)
                     mA = (ev, od)                               # sA layout
                     add_acc(de, 0)
                     add_acc(do, HALF)
                 elif stage == 1:
                     # B: pairs (r, r+Q4) inside each sA half.
-                    em, emc = em_for(1, t_row, EM if use_mxu else None)
+                    em, emc = em_for(1, j)
                     ev, od = mA
                     e1, o1, d1e, d1o = acs(ev[:Q4], ev[Q4:],
-                                           (em[:Q4], emc[:Q4]), j)
+                                           em[:Q4], emc[:Q4], j)
                     e2, o2, d2e, d2o = acs(od[:Q4], od[Q4:],
-                                           (em[Q4:], emc[Q4:]), j)
+                                           em[Q4:], emc[Q4:], j)
                     mB = (e1, o1, e2, o2)                       # sB layout
                     add_acc(d1e, 0)
                     add_acc(d1o, Q4)
@@ -700,13 +716,13 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
                     add_acc(d2o, 3 * Q4)
                 else:
                     # C: pairs (q, q+Q8) inside each sB block.
-                    em, emc = em_for(2, t_row, EM if use_mxu else None)
+                    em, emc = em_for(2, j)
                     outs = []
                     for c in range(4):
                         blk = mB[c]
                         e, o, de, do = acs(blk[:Q8], blk[Q8:],
-                                           (em[c * Q8:(c + 1) * Q8],
-                                            emc[c * Q8:(c + 1) * Q8]), j)
+                                           em[c * Q8:(c + 1) * Q8],
+                                           emc[c * Q8:(c + 1) * Q8], j)
                         outs += [e, o]
                         add_acc(de, 2 * c * Q8)
                         add_acc(do, (2 * c + 1) * Q8)
@@ -716,7 +732,8 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
             # Renormalize when the group ends on a stage-2 step (then
             # `m` holds the live natural-order metrics; after stage-0/1
             # endings the live state is mA/mB and m is stale).  Effective
-            # cadence: once per 24 steps — ample for int32 headroom.
+            # cadence: once per 24 steps — metric values stay < ~600
+            # (hard) / ~600 (soft, qmax=7), far inside f32 exactness.
             if (g * PACK + PACK - 1) % 3 == 2:
                 mn = jnp.min(m, axis=0, keepdims=True)
                 m = m - mn
@@ -730,53 +747,70 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
 
 def _tb_kernel_fused(spec: CodeSpec, nt: int):
     NS = spec.num_states
-    Q4 = NS // 4
     Q8 = NS // 8
 
-    def kernel(tlen_ref, dec_ref, out_ref, h_ref):
+    def kernel(gmask_ref, dec_ref, out_ref, h_ref):
+        # gmask_ref: (TG, 1) int32 SMEM (whole array) — per-group byte masks
+        #   on the packed decisions: 0xFF for fully-live groups, a partial
+        #   mask at the T boundary, 0 in the padded tail.  Masked (padded)
+        #   steps have decision 0, whose predecessor map fixes state 0 —
+        #   so the walk simply rests at state 0 until the last real step,
+        #   replacing the per-step t==T-1 selects of the unfused kernel
+        #   (the reference starts its walk at state 0,
+        #   viterbiDecoderButterflyk1.c:212).
+        # dec_ref: (CHUNK_F//PACK, NS, B) packed per-stage decisions
+        # out_ref: (CHUNK_F//PACK, 1, B) packed decoded bits
+        # h_ref:   (NS, B) f32 one-hot current state (backward walk),
+        #          natural layout at chunk boundaries
         i = pl.program_id(1)
         nt_total = pl.num_programs(1)
-        chunk_start = (nt_total - 1 - i) * CHUNK_F
-        T = tlen_ref[0, 0]
-        D = COMPUTE_DTYPE
-        one = jnp.asarray(1, D)
+        gbase = (nt_total - 1 - i) * (CHUNK_F // PACK)
 
         s_idx = jax.lax.broadcasted_iota(jnp.int32, (Q8, B_TILE), 0)
-        hot_row0 = jnp.where(s_idx == 0, 1, 0).astype(D)
-        hot_zero = jnp.zeros((Q8, B_TILE), D)
-        # State 0 sits at row 0 of block 0 in every stage layout, so the
-        # t == T-1 reset is layout-blind.
-        hot0_b = [hot_row0] + [hot_zero] * 7
+        hot_row0 = jnp.where(s_idx == 0, 1, 0).astype(CDT)
 
         @pl.when(i == 0)
         def _():
             h_ref[:Q8] = hot_row0
-            h_ref[Q8:] = jnp.zeros((NS - Q8, B_TILE), D)
+            h_ref[Q8:] = jnp.zeros((NS - Q8, B_TILE), CDT)
 
         # Emitted bits: instead of reducing the odd-state mass to a
         # scalar row every step (4 cross-sublane reductions/step), the
         # 2^j-weighted odd-block one-hots accumulate across the group and
         # are reduced ONCE per 8 steps — the packed byte is linear in
         # them.  Every stage layout has exactly 4 odd-state Q8-blocks.
-
-        # The one-hot state is carried as a LIST of 8 Q8-row blocks, so
-        # every stage's select network is blockwise multiply/add with no
-        # materializing concatenates; the single relayout per 3-step cycle
-        # is the natural -> sC transpose.
+        #
+        # The survivor-select network uses the complement identity: with
+        # one-hot masses, hi = sum_s h_s * d_s and lo = (sum_s h_s) - hi,
+        # so each output pair costs 2 masked selects + 3 add/sub instead
+        # of 4 multiplies + 2 adds + 2 one-minus.
+        zf = jnp.asarray(0, CDT)
         h = h_ref[:]
         hb = [h[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
         for g in range(CHUNK_F // PACK - 1, -1, -1):
+            gm = gmask_ref[gbase + g, 0]
             dec32 = dec_ref[g].astype(jnp.int32)
-            db = [dec32[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
-            oacc = [jnp.zeros((Q8, B_TILE), jnp.int32) for _ in range(4)]
+            db = [dec32[b_ * Q8:(b_ + 1) * Q8] & gm for b_ in range(8)]
+            oacc = [jnp.zeros((Q8, B_TILE), CDT) for _ in range(4)]
             for j in range(PACK - 1, -1, -1):
-                t = chunk_start + g * PACK + j
                 stage = (g * PACK + j) % 3
-                is_last = t == T - 1
-                hb = [jnp.where(is_last, hz, hx)
-                      for hz, hx in zip(hot0_b, hb)]
-                Dj = [((d_ >> j) & 1).astype(D) for d_ in db]
-                w = jnp.asarray(1 << j, jnp.int32)
+                wi = 1 << j
+                wf = jnp.asarray(wi, CDT)
+                Mj = [(d_ & wi) > 0 for d_ in db]     # i1 decision masks
+
+                def merge(i0, i1, hb=None, Mj=Mj):
+                    """Select-network output pair for sources (i0, i1).
+
+                    hi/lo use independent masked selects (not lo = sum -
+                    hi): the blocks are only 2 vregs, so keeping the six
+                    ops dependency-free preserves VPU pipelining."""
+                    h0, h1 = hb[i0], hb[i1]
+                    hi = (jnp.where(Mj[i0], h0, zf)
+                          + jnp.where(Mj[i1], h1, zf))
+                    lo = (jnp.where(Mj[i0], zf, h0)
+                          + jnp.where(Mj[i1], zf, h1))
+                    return lo, hi
+
                 if stage == 2:
                     # h natural -> sC (the forward transpose, inverted).
                     h_full = jnp.concatenate(hb, axis=0)
@@ -784,44 +818,35 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
                     hb = [hsc[b_] for b_ in range(8)]
                     # Odd states = odd sC blocks.
                     for k_, b_ in enumerate((1, 3, 5, 7)):
-                        oacc[k_] = oacc[k_] + hb[b_] * w
+                        oacc[k_] = oacc[k_] + hb[b_] * wf
                     # Pairs (block 2c, 2c+1) -> sB block c = (lo_c, hi_c).
                     nb = []
                     for c in range(4):
-                        h0, h1 = hb[2 * c], hb[2 * c + 1]
-                        d0, d1 = Dj[2 * c], Dj[2 * c + 1]
-                        nb += [h0 * (one - d0) + h1 * (one - d1),
-                               h0 * d0 + h1 * d1]
+                        lo, hi = merge(2 * c, 2 * c + 1, hb)
+                        nb += [lo, hi]
                     hb = nb                                    # sB layout
                 elif stage == 1:
                     # Odd states (4r+c, c odd) = sB Q4-blocks 1 and 3.
                     for k_, b_ in enumerate((2, 3, 6, 7)):
-                        oacc[k_] = oacc[k_] + hb[b_] * w
+                        oacc[k_] = oacc[k_] + hb[b_] * wf
                     # sB halves -> sA halves; within each half, pairs are
                     # (row r, r + Q4) = (blocks 0..1, blocks 2..3).
-                    nb = []
-                    for base in (0, 4):
-                        h0a, h0b = hb[base], hb[base + 1]
-                        h1a, h1b = hb[base + 2], hb[base + 3]
-                        d0a, d0b = Dj[base], Dj[base + 1]
-                        d1a, d1b = Dj[base + 2], Dj[base + 3]
-                        nb += [h0a * (one - d0a) + h1a * (one - d1a),
-                               h0b * (one - d0b) + h1b * (one - d1b),
-                               h0a * d0a + h1a * d1a,
-                               h0b * d0b + h1b * d1b]
+                    nb = [None] * 8
+                    for bi, base in enumerate((0, 4)):
+                        lo_a, hi_a = merge(base, base + 2, hb)
+                        lo_b, hi_b = merge(base + 1, base + 3, hb)
+                        nb[4 * bi:4 * bi + 4] = [lo_a, lo_b, hi_a, hi_b]
                     hb = nb                                    # sA layout
                 else:
                     # Odd states = top sA half = blocks 4..7.
                     for k_, b_ in enumerate((4, 5, 6, 7)):
-                        oacc[k_] = oacc[k_] + hb[b_] * w
-                    nb = []
+                        oacc[k_] = oacc[k_] + hb[b_] * wf
+                    los, his = [], []
                     for b_ in range(4):
-                        nb.append(hb[b_] * (one - Dj[b_])
-                                  + hb[b_ + 4] * (one - Dj[b_ + 4]))
-                    for b_ in range(4):
-                        nb.append(hb[b_] * Dj[b_]
-                                  + hb[b_ + 4] * Dj[b_ + 4])
-                    hb = nb                                    # natural
+                        lo, hi = merge(b_, b_ + 4, hb)
+                        los.append(lo)
+                        his.append(hi)
+                    hb = los + his                             # natural
             out_acc = jnp.sum(oacc[0] + oacc[1] + oacc[2] + oacc[3],
                               axis=0, keepdims=True)
             out_ref[g, 0, :] = out_acc.astype(jnp.uint8).reshape(B_TILE)
@@ -849,17 +874,11 @@ def acs_forward_batch_fused(spec: CodeSpec, segments,
     seg_t = segments.T
     nt = T // CHUNK_F
     nb = B // B_TILE
-    cbA, cbB, cbC = _stage_tables(spec)
-    cb = jnp.asarray(np.broadcast_to(
-        np.stack([cbA, cbB, cbC])[:, :, None],
-        (3, NS // 2, B_TILE)).astype(np.uint8).copy())
     W = jnp.asarray(_em_weight_matrix(spec))
     return pl.pallas_call(
         _fwd_kernel_fused(spec, nt),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec((3, NS // 2, B_TILE), lambda b, t: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(W.shape, lambda b, t: (0, 0),
+        in_specs=[pl.BlockSpec(W.shape, lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((CHUNK_F, B_TILE), lambda b, t: (t, b),
                                memory_space=pltpu.VMEM)],
@@ -867,28 +886,41 @@ def acs_forward_batch_fused(spec: CodeSpec, segments,
                                lambda b, t: (t, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(cb, W, seg_t)
+    )(W, seg_t)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def traceback_batch_fused(spec: CodeSpec, decisions, t_actual,
+def _group_masks(TG: int, t_actual: int) -> np.ndarray:
+    """Per-8-step-group byte masks zeroing decision bits at steps >= T."""
+    if not (0 < t_actual <= TG * PACK):
+        raise ValueError(f"t_actual={t_actual} outside (0, {TG * PACK}]")
+    g0, rem = divmod(t_actual, PACK)
+    gm = np.zeros((TG, 1), np.int32)
+    gm[:g0] = 0xFF
+    if rem:
+        gm[g0] = (1 << rem) - 1
+    return gm
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def traceback_batch_fused(spec: CodeSpec, decisions, t_actual: int,
                           interpret: bool = False):
     """Traceback over fused-layout decisions (from
-    `acs_forward_batch_fused`)."""
+    `acs_forward_batch_fused`).  t_actual (the real packet length) is
+    static: it only shapes the per-group decision masks."""
     NS = spec.num_states
     decisions = jnp.asarray(decisions, jnp.uint8)
     TG, NS_, B = decisions.shape
     assert NS_ == NS
     nt = TG * PACK // CHUNK_F
     nb = B // B_TILE
-    tlen = jnp.asarray(t_actual, jnp.int32).reshape(1, 1)
+    gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
     out = pl.pallas_call(
         _tb_kernel_fused(spec, nt),
         grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+            pl.BlockSpec((TG, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
                          lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
@@ -898,16 +930,16 @@ def traceback_batch_fused(spec: CodeSpec, decisions, t_actual,
                                lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((TG, 1, B), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(tlen, decisions)
+    )(gmask, decisions)
     return out[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
                                  interpret: bool = False):
-    """Fused 3-stage soft forward ACS (NS >= 64).
+    """Fused 3-stage soft forward ACS (NS >= 64), MXU edge metrics.
 
     Args:
       qllrs: int8 [B, T, n] quantized LLRs, T a multiple of CHUNK_F.
@@ -924,27 +956,21 @@ def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
     if T % CHUNK_F or B % B_TILE:
         raise ValueError(f"padded shapes required: T={T} %{CHUNK_F}, "
                          f"B={B} %{B_TILE}")
-    q_t = qllrs.transpose(1, 2, 0).reshape(T * n, B)
+    q_t = qllrs.transpose(2, 1, 0)                       # (n, T, B)
     nt = T // CHUNK_F
     nb = B // B_TILE
-    cbA, cbB, cbC = _stage_tables(spec)
-    cb = jnp.asarray(np.broadcast_to(
-        np.stack([cbA, cbB, cbC])[:, :, None],
-        (3, NS // 2, B_TILE)).astype(np.uint8).copy())
-    W = jnp.asarray(_em_weight_matrix(spec))   # unused on the soft path
+    W = jnp.asarray(_em_weight_matrix_soft(spec))
     return pl.pallas_call(
         _fwd_kernel_fused(spec, nt, soft=True),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec((3, NS // 2, B_TILE), lambda b, t: (0, 0, 0),
+        in_specs=[pl.BlockSpec(W.shape, lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(W.shape, lambda b, t: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((CHUNK_F * n, B_TILE), lambda b, t: (t, b),
+                  pl.BlockSpec((n, CHUNK_F, B_TILE), lambda b, t: (0, t, b),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
                                lambda b, t: (t, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((NS, B_TILE), COMPUTE_DTYPE)],
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(cb, W, q_t)
+    )(W, q_t)
