@@ -13,6 +13,7 @@ from .acs_pallas import (
     acs_forward_batch_fused,
     acs_forward_batch_fused_soft,
     traceback_batch_fused,
+    traceback_batch_fused_masked,
     traceback_batch,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "acs_forward_batch_fused",
     "acs_forward_batch_fused_soft",
     "traceback_batch_fused",
+    "traceback_batch_fused_masked",
     "traceback_batch",
 ]

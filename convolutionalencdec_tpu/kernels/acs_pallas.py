@@ -347,7 +347,7 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
         # Fused 3-stage kernels: the de Bruijn shuffle amortized to one
         # transpose per 3 steps (see below).
         seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK_F, 1)
-        decs = acs_forward_batch_fused(spec, seg_p, interpret)
+        decs, _ = acs_forward_batch_fused(spec, seg_p, interpret)
         packed = traceback_batch_fused(spec, decs, T, interpret)
     else:
         seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK, 1)
@@ -490,7 +490,7 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
     L = message_bits if message_bits is not None else T - spec.S
     if spec.num_states >= 64:
         q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK_F, 1)
-        decs = acs_forward_batch_fused_soft(spec, q_p, interpret)
+        decs, _ = acs_forward_batch_fused_soft(spec, q_p, interpret)
         packed = traceback_batch_fused(spec, decs, T, interpret)
     else:
         q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK, 1)
@@ -604,16 +604,33 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     n = spec.n
     init_hi = init_metric_value(spec)
 
-    def kernel(w_ref, seg_ref, dec_ref, m_ref):
-        # w_ref:  MXU edge-metric weights, bf16 —
+    def kernel(ic_ref, w_ref, seg_ref, dec_ref, fm_ref, m_ref):
+        # ic_ref: (1, 1) int32 SMEM — chunk index at which the standard
+        #         initial metrics (start state 0, others "forceNot") are
+        #         applied.  0 for whole-packet decode; W/CHUNK_F for the
+        #         first block of a time-sharded stream, whose left halo is
+        #         zero-filled (the metrics computed before that point are
+        #         discarded by the overwrite); -1 (never) for interior
+        #         blocks, which keep the uniform start — the truncation
+        #         argument of viterbiDecoder.c:53-74.
+        # w_ref:  MXU edge-metric weights, int8 —
         #         hard (3*HALF, n+1); soft (3*HALF + 1, 2n)
         # seg_ref: hard (CHUNK_F, B) uint8 segments;
         #          soft (n, CHUNK_F, B) int8 quantized LLRs
         # dec_ref: (CHUNK_F//PACK, NS, B) packed per-stage decisions
-        # m_ref: (NS, B) f32 scratch, natural order at chunk boundaries
+        # fm_ref: (NS, B) int32 final path metrics (valid after the last
+        #         chunk; time-sharded decode argmins them for the
+        #         traceback start state)
+        # m_ref: (NS, B) int32 scratch, natural order at chunk boundaries
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
+        def _():
+            # Uniform start (all-equal metrics); possibly overwritten
+            # below when the standard init applies at chunk 0.
+            m_ref[:] = jnp.zeros((NS, B_TILE), CDT)
+
+        @pl.when(t_chunk == ic_ref[0, 0])
         def _():
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
@@ -741,6 +758,7 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
                 dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = \
                     acc[b_].astype(jnp.uint8)
         m_ref[:] = m
+        fm_ref[:] = m
 
     return kernel
 
@@ -749,7 +767,10 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
     NS = spec.num_states
     Q8 = NS // 8
 
-    def kernel(gmask_ref, dec_ref, out_ref, h_ref):
+    def kernel(gmask_ref, hinit_ref, dec_ref, out_ref, h_ref):
+        # hinit_ref: (NS, B) uint8 — one-hot traceback start state (state 0
+        #   for terminated whole packets; one-hot(argmin(final metrics))
+        #   for time-sharded interior blocks, viterbiDecoder.c:53-74).
         # gmask_ref: (TG, 1) int32 SMEM (whole array) — per-group byte masks
         #   on the packed decisions: 0xFF for fully-live groups, a partial
         #   mask at the T boundary, 0 in the padded tail.  Masked (padded)
@@ -766,13 +787,9 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
         nt_total = pl.num_programs(1)
         gbase = (nt_total - 1 - i) * (CHUNK_F // PACK)
 
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, (Q8, B_TILE), 0)
-        hot_row0 = jnp.where(s_idx == 0, 1, 0).astype(CDT)
-
         @pl.when(i == 0)
         def _():
-            h_ref[:Q8] = hot_row0
-            h_ref[Q8:] = jnp.zeros((NS - Q8, B_TILE), CDT)
+            h_ref[:] = hinit_ref[:].astype(CDT)
 
         # Emitted bits: instead of reducing the odd-state mass to a
         # scalar row every step (4 cross-sublane reductions/step), the
@@ -858,10 +875,19 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_fused(spec: CodeSpec, segments,
-                            interpret: bool = False):
+                            interpret: bool = False, init_chunk=0):
     """Fused 3-stage forward ACS (NS >= 64).  Same contract as
     `acs_forward_batch` but decisions are in per-stage layouts (consumed
-    by `traceback_batch_fused`); T must be a multiple of CHUNK_F."""
+    by `traceback_batch_fused`); T must be a multiple of CHUNK_F.
+
+    Args:
+      init_chunk: chunk index at which the standard initial metrics are
+        applied (may be traced).  0 = whole-packet decode; W//CHUNK_F for
+        the first block of a time-sharded stream; -1 (never) keeps the
+        uniform start for interior blocks.
+    Returns:
+      (decisions uint8 [T//PACK, NS, B], final_metrics int32 [NS, B]).
+    """
     spec.validate_for_butterfly()
     NS = spec.num_states
     if NS < 64:
@@ -875,20 +901,26 @@ def acs_forward_batch_fused(spec: CodeSpec, segments,
     nt = T // CHUNK_F
     nb = B // B_TILE
     W = jnp.asarray(_em_weight_matrix(spec))
+    ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         _fwd_kernel_fused(spec, nt),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec(W.shape, lambda b, t: (0, 0),
+        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(W.shape, lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((CHUNK_F, B_TILE), lambda b, t: (t, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
-                               lambda b, t: (t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+        out_specs=[pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
+                                lambda b, t: (t, 0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(W, seg_t)
+    )(ic, W, seg_t)
 
 
 def _group_masks(TG: int, t_actual: int) -> np.ndarray:
@@ -903,25 +935,46 @@ def _group_masks(TG: int, t_actual: int) -> np.ndarray:
     return gm
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def traceback_batch_fused(spec: CodeSpec, decisions, t_actual: int,
-                          interpret: bool = False):
-    """Traceback over fused-layout decisions (from
-    `acs_forward_batch_fused`).  t_actual (the real packet length) is
-    static: it only shapes the per-group decision masks."""
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def traceback_batch_fused_masked(spec: CodeSpec, decisions, gmask, h_init,
+                                 interpret: bool = False):
+    """Traceback over fused-layout decisions with traced masks/start.
+
+    The general form behind `traceback_batch_fused`, used directly by the
+    time-sharded decoder (parallel/sharding.py) where the masks and start
+    state differ per device under one trace.
+
+    Args:
+      decisions: uint8 [TG, NS, B] from `acs_forward_batch_fused`.
+      gmask: int32 [TG, 1] per-8-step-group byte masks on the packed
+        decisions (0xFF live, partial at the boundary, 0 beyond).  A
+        masked step has decision 0, whose predecessor map fixes state 0 —
+        and, because k=1 states are shift registers, ANY start state is
+        teleported to state 0 within S masked steps, so a >= S-step
+        masked tail realizes the known-terminal-state traceback without
+        per-step selects (viterbiDecoderButterflyk1.c:212's walk start).
+      h_init: uint8 [NS, B] one-hot walk start at the padded end — state
+        0 for terminated packets, one-hot(argmin(final metrics)) for
+        truncation decode (viterbiDecoder.c:53-74).
+    Returns:
+      uint8 [TG, B] packed decoded bits.
+    """
     NS = spec.num_states
     decisions = jnp.asarray(decisions, jnp.uint8)
     TG, NS_, B = decisions.shape
     assert NS_ == NS
     nt = TG * PACK // CHUNK_F
     nb = B // B_TILE
-    gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
+    gmask = jnp.asarray(gmask, jnp.int32).reshape(TG, 1)
+    h_init = jnp.asarray(h_init, jnp.uint8)
     out = pl.pallas_call(
         _tb_kernel_fused(spec, nt),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((TG, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
                          lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
                          memory_space=pltpu.VMEM),
@@ -932,18 +985,36 @@ def traceback_batch_fused(spec: CodeSpec, decisions, t_actual: int,
         out_shape=jax.ShapeDtypeStruct((TG, 1, B), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(gmask, decisions)
+    )(gmask, h_init, decisions)
     return out[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def traceback_batch_fused(spec: CodeSpec, decisions, t_actual: int,
+                          interpret: bool = False):
+    """Traceback over fused-layout decisions (from
+    `acs_forward_batch_fused`) for terminated packets.  t_actual (the
+    real packet length) is static: it only shapes the per-group decision
+    masks."""
+    NS = spec.num_states
+    decisions = jnp.asarray(decisions, jnp.uint8)
+    TG, NS_, B = decisions.shape
+    gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
+    s_idx = jnp.arange(NS, dtype=jnp.int32)[:, None]
+    h_init = jnp.broadcast_to((s_idx == 0).astype(jnp.uint8), (NS, B))
+    return traceback_batch_fused_masked(spec, decisions, gmask, h_init,
+                                        interpret)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
-                                 interpret: bool = False):
+                                 interpret: bool = False, init_chunk=0):
     """Fused 3-stage soft forward ACS (NS >= 64), MXU edge metrics.
 
     Args:
       qllrs: int8 [B, T, n] quantized LLRs, T a multiple of CHUNK_F.
-    Returns packed per-stage decisions for `traceback_batch_fused`.
+      init_chunk: see `acs_forward_batch_fused`.
+    Returns (decisions, final_metrics) as `acs_forward_batch_fused`.
     """
     spec.validate_for_butterfly()
     NS = spec.num_states
@@ -960,17 +1031,23 @@ def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
     nt = T // CHUNK_F
     nb = B // B_TILE
     W = jnp.asarray(_em_weight_matrix_soft(spec))
+    ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         _fwd_kernel_fused(spec, nt, soft=True),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec(W.shape, lambda b, t: (0, 0),
+        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(W.shape, lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((n, CHUNK_F, B_TILE), lambda b, t: (0, t, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
-                               lambda b, t: (t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+        out_specs=[pl.BlockSpec((CHUNK_F // PACK, NS, B_TILE),
+                                lambda b, t: (t, 0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((T // PACK, NS, B), jnp.uint8),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(W, q_t)
+    )(ic, W, q_t)

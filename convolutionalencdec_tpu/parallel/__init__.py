@@ -4,6 +4,7 @@ from .sharding import (
     make_mesh,
     decode_sharded,
     decode_sharded_batch,
+    decode_sharded_kernel,
     encode_sharded,
     block_decode,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "make_mesh",
     "decode_sharded",
     "decode_sharded_batch",
+    "decode_sharded_kernel",
     "encode_sharded",
     "block_decode",
 ]

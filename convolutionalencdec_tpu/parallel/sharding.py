@@ -241,3 +241,111 @@ def decode_sharded_batch(spec: CodeSpec, segments, mesh: Mesh,
                    in_specs=P(n_axes, *extra),
                    out_specs=P(n_axes, None), check_vma=False)
     return fn(jnp.asarray(segments))
+
+#: Warm-up for the kernel-backed time-sharded decoder: must be a multiple
+#: of the fused kernel's chunk (CHUNK_F = 48) so the standard-init
+#: overwrite lands on a chunk boundary; 144 = 3 chunks > 4x the 5K rule.
+DEFAULT_WARMUP_KERNEL = 144
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def decode_sharded_kernel(spec: CodeSpec, segments, mesh: Mesh,
+                          warmup: int = DEFAULT_WARMUP_KERNEL,
+                          interpret: bool = False):
+    """Time-block sharded decode through the fused Pallas kernels.
+
+    Same overlap-save scheme as `decode_sharded` (truncation argument,
+    viterbiDecoder.c:53-74) but each device runs the fused butterfly
+    kernels on its halo-extended block instead of the scan decoder, so
+    multi-chip long-stream decode runs at kernel throughput:
+
+      * device 0 applies the exact initial metrics at chunk W/CHUNK_F
+        (its zero-filled left halo is decoded from a uniform start and
+        discarded by the overwrite) — no per-step identity masking;
+      * every device tracebacks from one-hot(argmin(final metrics)); the
+        last device's zero-masked right tail teleports any start state
+        to the true terminal state 0 within S steps (k=1 states are
+        shift registers), reproducing the known-state walk exactly;
+      * the W-segment halos ride ICI via `jax.lax.ppermute`.
+
+    Bit-exact vs `decode_sharded` (the scan reference) wherever survivor
+    paths merge within W.
+
+    Args:
+      segments: uint8 [B, T]; T/ntb must be a multiple of CHUNK_F (48)
+        and warmup a multiple of CHUNK_F.
+    Returns:
+      uint8 [B, T] decoded bits per trellis step (caller slices [0, L)).
+    """
+    from ..kernels.acs_pallas import (
+        CHUNK_F, PACK, B_TILE, acs_forward_batch_fused,
+        traceback_batch_fused_masked, _group_masks)
+
+    spec.validate_for_butterfly()
+    if spec.num_states < 64:
+        raise ValueError("kernel-backed sharded decode requires NS >= 64")
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    nch = mesh.shape["ch"]
+    ntb = mesh.shape["tb"]
+    W = warmup
+    if W % CHUNK_F or W < spec.S:
+        raise ValueError(f"warmup {W} must be a multiple of {CHUNK_F}")
+    if B % nch:
+        raise ValueError(f"B={B} not divisible by ch={nch}")
+    if T % ntb or (T // ntb) % CHUNK_F:
+        raise ValueError(
+            f"T={T} must split into tb={ntb} blocks of a multiple of "
+            f"{CHUNK_F} steps")
+    Tl = T // ntb
+    if W > Tl:
+        raise ValueError(
+            f"warmup {W} exceeds the local block ({Tl} steps) — halos "
+            f"only reach one neighbor; use fewer time shards")
+    NS = spec.num_states
+
+    def shard_fn(seg_local):                     # (B/nch, Tl)
+        i = jax.lax.axis_index("tb")
+        last = ntb - 1
+        if ntb > 1:
+            left = jax.lax.ppermute(
+                seg_local[:, -W:], "tb",
+                perm=[(j, j + 1) for j in range(ntb - 1)])
+            right = jax.lax.ppermute(
+                seg_local[:, :W], "tb",
+                perm=[(j + 1, j) for j in range(ntb - 1)])
+            ext = jnp.concatenate([left, seg_local, right], axis=1)
+        else:
+            z = jnp.zeros((seg_local.shape[0], W), seg_local.dtype)
+            ext = jnp.concatenate([z, seg_local, z], axis=1)
+        Bl, Te = ext.shape                       # Te = 2W + Tl, % CHUNK_F == 0
+        Bp = -(-Bl // B_TILE) * B_TILE
+        ext = jnp.pad(ext, ((0, Bp - Bl), (0, 0)))
+        # Device 0: exact initial metrics once its zero left halo is done.
+        init_chunk = jnp.where(i == 0, W // CHUNK_F, -1)
+        decs, fm = acs_forward_batch_fused(spec, ext, interpret,
+                                           init_chunk=init_chunk)
+        # Decision masks: the last device zeroes its right tail (teleports
+        # the walk to terminal state 0); others keep every step live.
+        TG = Te // PACK
+        groups = jnp.arange(TG, dtype=jnp.int32)[:, None]
+        live_groups = (W + Tl) // PACK           # W, Tl multiples of PACK
+        gmask = jnp.where(jnp.logical_or(i != last, groups < live_groups),
+                          0xFF, 0)
+        # Traceback start: argmin of final metrics (ties -> lowest state,
+        # matching the scan reference).
+        am = jnp.argmin(fm, axis=0)              # (Bp,)
+        s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
+        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
+        packed = traceback_batch_fused_masked(spec, decs, gmask, h_init,
+                                              interpret)
+        j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
+        bits = (packed[:, None, :] >> j) & 1
+        bits = bits.reshape(Te, Bp)
+        return bits[W:W + Tl, :Bl].T
+
+    from jax import shard_map
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=P("ch", "tb"), out_specs=P("ch", "tb"),
+                   check_vma=False)
+    return fn(segments)

@@ -34,8 +34,8 @@ for name, spec in [("K7", fec.NASA_K7), ("K9", K9_561_753)]:
     coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
     T = coded.shape[1]
     seg_p = jax.device_put(_pad_to(jnp.asarray(coded), CHUNK_F, 1))
-    t_fwd = timeit(lambda s: acs_forward_batch_fused(spec, s), seg_p)
-    decs = jax.block_until_ready(acs_forward_batch_fused(spec, seg_p))
+    t_fwd = timeit(lambda s: acs_forward_batch_fused(spec, s)[0], seg_p)
+    decs = jax.block_until_ready(acs_forward_batch_fused(spec, seg_p)[0])
     t_tb = timeit(lambda d: traceback_batch_fused(spec, d, T), decs)
     t_all = timeit(lambda s: viterbi_decode_batch(spec, s), jnp.asarray(coded))
     mbps = B * L / t_all / 1e6
@@ -53,6 +53,6 @@ q = quantize_llrs(bpsk_llr(rx, 2.0, spec.rate)).reshape(B, -1, spec.n)
 T = coded.shape[1]
 q_dev = jax.device_put(q.astype(jnp.int8))
 q_p = _pad_to(q_dev, CHUNK_F, 1)
-t_fwd = timeit(lambda s: acs_forward_batch_fused_soft(spec, s), q_p)
+t_fwd = timeit(lambda s: acs_forward_batch_fused_soft(spec, s)[0], q_p)
 t_all = timeit(lambda s: viterbi_decode_batch_soft(spec, s), q_dev)
 print(f"K7 soft: fwd {t_fwd*1e3:.2f} ms  e2e {t_all*1e3:.2f} ms = {B*L/t_all/1e6:.0f} Mbit/s", flush=True)

@@ -68,3 +68,32 @@ def test_channel_sharded_kernel_decode():
                                           interpret=True))
     want = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)],
+                         ids=["ch2tb4", "tb8"])
+def test_time_sharded_kernel_decode(mesh_shape):
+    """Kernel-backed time-block decode (overlap-save through the fused
+    Pallas kernels) is bit-identical to the unsharded kernel decoder —
+    the multi-chip long-stream story at kernel speed."""
+    from convolutionalencdec_tpu.parallel import decode_sharded_kernel
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch
+    spec = NASA_K7
+    rng = np.random.default_rng(47)
+    B, L = 4, 1146                     # T = 1152; Tl = 288/144 >= W
+    msgs, coded = _noisy(rng, spec, B, L, 0.02)
+    mesh = make_mesh(*mesh_shape)
+    got = np.asarray(decode_sharded_kernel(spec, coded, mesh,
+                                           interpret=True))[:, :L]
+    want = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    assert (got != msgs).mean() < 1e-3
+
+
+def test_time_sharded_kernel_rejects_misaligned():
+    from convolutionalencdec_tpu.parallel import decode_sharded_kernel
+    spec = NASA_K7
+    mesh = make_mesh(1, 8)
+    coded = np.zeros((4, 1024), np.uint8)   # 1024/8 = 128, not % 48
+    with pytest.raises(ValueError):
+        decode_sharded_kernel(spec, coded, mesh)
