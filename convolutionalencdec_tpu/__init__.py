@@ -17,6 +17,7 @@ from .params import (
 )
 from .ops.encode import encode_bits, encode_bytes
 from .ops.viterbi import (
+    viterbi_decode_bytes,
     viterbi_decode,
     viterbi_decode_stream,
     viterbi_forward,
@@ -44,6 +45,7 @@ __all__ = [
     "K9_561_753",
     "encode_bits",
     "encode_bytes",
+    "viterbi_decode_bytes",
     "viterbi_decode",
     "viterbi_decode_stream",
     "viterbi_forward",

@@ -8,6 +8,7 @@ pass and the one-hot select-network traceback.
 from .acs_pallas import (
     viterbi_decode_batch,
     viterbi_decode_batch_soft,
+    viterbi_decode_batch_bytes,
     acs_forward_batch,
     acs_forward_batch_soft,
     acs_forward_batch_fused,
@@ -15,11 +16,14 @@ from .acs_pallas import (
     traceback_batch_fused,
     traceback_batch_fused_masked,
     traceback_batch,
+    stream_decode_batch,
+    stream_state_init,
 )
 
 __all__ = [
     "viterbi_decode_batch",
     "viterbi_decode_batch_soft",
+    "viterbi_decode_batch_bytes",
     "acs_forward_batch",
     "acs_forward_batch_soft",
     "acs_forward_batch_fused",
@@ -27,4 +31,6 @@ __all__ = [
     "traceback_batch_fused",
     "traceback_batch_fused_masked",
     "traceback_batch",
+    "stream_decode_batch",
+    "stream_state_init",
 ]

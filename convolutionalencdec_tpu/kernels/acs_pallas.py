@@ -1051,3 +1051,319 @@ def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
     )(ic, W, q_t)
+
+
+# ---------------------------------------------------------------------------
+# Streaming register-exchange kernel (NS >= 64): sliding-window decode at
+# kernel speed.
+#
+# The reference's generic decoder is defined by its streaming emit — after
+# TRACEBACK_LEN warm-up steps each iteration emits the oldest symbol of the
+# current best state's survivor register (viterbiDecoder.c:122-190).  The
+# scan twin here is ops/viterbi.viterbi_decode_stream.  This kernel runs
+# the same register-exchange on the fused 3-stage ACS layouts:
+#
+#   * each state carries its last W decoded symbols as TWO int32 bit
+#     planes (bit j of `lo` = symbol j steps old, `hi` continues at 32) —
+#     W <= 64 covers every 5K default up to K=13;
+#   * registers ride the same stage slicing as the metrics, so the
+#     exchange is 4 masked selects per plane per step (reusing the ACS
+#     compares) and shares the one transpose per 3 steps;
+#   * the per-step emit argmin(new_m) (lowest state on ties, matching
+#     jnp.argmin in the scan) folds into ONE reduced key:
+#         key = m * 2*NS + 2*state + oldest_bit
+#     whose minimum's LSB is the emitted symbol — no one-hot pass.
+# ---------------------------------------------------------------------------
+
+#: Perf-ablation switch for the streaming kernel (None | "no_emit" |
+#: "no_re"); used by scripts/stream_ablate.py to bisect kernel cost.
+STREAM_ABLATE = None
+
+
+def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
+    NS = spec.num_states
+    HALF = NS // 2
+    Q4 = NS // 4
+    Q8 = NS // 8
+    n = spec.n
+    KEYC = 2 * NS
+
+    def oldest_bit(lo, hi):
+        if W <= 32:
+            return (lo >> (W - 1)) & 1
+        return (hi >> (W - 33)) & 1
+
+    def kernel(w_ref, seg_ref, init_ref, out_ref, mo_ref, lo_out_ref,
+               hi_out_ref, m_ref, lo_ref, hi_ref):
+        # w_ref:   (3*HALF, n+1) int8 MXU edge-metric weights
+        # seg_ref: (CHUNK_F, B) uint8 segments
+        # init_ref: (3, NS, B) int32 carried-state input (m, lo, hi)
+        # out_ref: (CHUNK_F//PACK, 1, B) uint8 packed emitted symbols
+        #          (bit j of group g = emit at step chunk*CHUNK_F+g*8+j)
+        # mo/lo_out/hi_out: (NS, B) int32 carried-state outputs
+        # m/lo/hi_ref: (NS, B) int32 scratch (metrics, register planes)
+        t_chunk = pl.program_id(1)
+
+        @pl.when(t_chunk == 0)
+        def _():
+            m_ref[:] = init_ref[0]
+            lo_ref[:] = init_ref[1]
+            hi_ref[:] = init_ref[2]
+
+        seg_all = seg_ref[:].astype(jnp.int32)
+        r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
+        ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
+        nF = jnp.asarray(n, CDT)
+        one = jnp.asarray(1, CDT)
+
+        # 2 * (natural state index) of each row per layout, as in-kernel
+        # iota constants: sA row i -> states 2i / 2i+1; sB block c row r
+        # -> state 4r + c; post-stage-2 is natural order.
+        ioH = jax.lax.broadcasted_iota(CDT, (HALF, B_TILE), 0)
+        ioQ4 = jax.lax.broadcasted_iota(CDT, (Q4, B_TILE), 0)
+        ioN = jax.lax.broadcasted_iota(CDT, (NS, B_TILE), 0)
+        iota_A = [4 * ioH, 4 * ioH + 2]
+        iota_B = [8 * ioQ4 + 2 * c for c in range(4)]
+        iota_N = 2 * ioN
+
+        def acs_m(first, second, em, emc):
+            a0 = first + em
+            a1 = second + emc
+            b0 = first + emc
+            b1 = second + em
+            gt_e = a0 > a1
+            gt_o = b0 > b1
+            ev = jnp.where(gt_e, a1, a0)
+            od = jnp.where(gt_o, b1, b0)
+            return ev, od, gt_e, gt_o
+
+        def reg_ex(gt_e, gt_o, lo_f, lo_s, hi_f, hi_s):
+            """Register exchange for one merge: select by the ACS masks,
+            shift in the destination's input bit (even dst -> 0, odd -> 1;
+            the state LSB is the newest input, encode_one_input)."""
+            lo_e = jnp.where(gt_e, lo_s, lo_f)
+            lo_o = jnp.where(gt_o, lo_s, lo_f)
+            hi_e = jnp.where(gt_e, hi_s, hi_f)
+            hi_o = jnp.where(gt_o, hi_s, hi_f)
+            c_e = (lo_e >> 31) & one
+            c_o = (lo_o >> 31) & one
+            lo_e = lo_e << 1
+            lo_o = (lo_o << 1) | one
+            hi_e = (hi_e << 1) | c_e
+            hi_o = (hi_o << 1) | c_o
+            return lo_e, lo_o, hi_e, hi_o
+
+        m = m_ref[:]
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        mA = mB = loAB = hiAB = None
+        for g in range(CHUNK_F // PACK):
+            Rg = jnp.concatenate(
+                [ones_row] + [r_planes[bit][g * PACK:(g + 1) * PACK]
+                              .reshape(1, PACK * B_TILE) for bit in range(n)],
+                axis=0).astype(jnp.int8)
+            EM = jax.lax.dot_general(
+                w_ref[:], Rg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            partials = []      # per-step keys, pre-reduced to Q8 rows
+            for j in range(PACK):
+                t_row = g * PACK + j
+                stage = t_row % 3
+                em_full = EM[stage * HALF:(stage + 1) * HALF,
+                             j * B_TILE:(j + 1) * B_TILE]
+                emc_full = nF - em_full
+                if stage == 0:
+                    ev, od, ge, go = acs_m(m[:HALF], m[HALF:],
+                                           em_full, emc_full)
+                    if STREAM_ABLATE == "no_re":
+                        rl_e, rl_o = lo[:HALF], lo[HALF:]
+                        rh_e, rh_o = hi[:HALF], hi[HALF:]
+                    else:
+                        rl_e, rl_o, rh_e, rh_o = reg_ex(
+                            ge, go, lo[:HALF], lo[HALF:],
+                            hi[:HALF], hi[HALF:])
+                    mA = (ev, od)
+                    loAB = [rl_e, rl_o]
+                    hiAB = [rh_e, rh_o]
+                    keys = [ev * KEYC + iota_A[0] + oldest_bit(rl_e, rh_e),
+                            od * KEYC + iota_A[1] + oldest_bit(rl_o, rh_o)]
+                elif stage == 1:
+                    ev, od = mA
+                    rl, rh = loAB, hiAB
+                    outs_m, outs_l, outs_h = [], [], []
+                    for half_i, (mm, ll, hh) in enumerate(
+                            zip((ev, od), rl, rh)):
+                        e, o, ge, go = acs_m(mm[:Q4], mm[Q4:],
+                                             em_full[half_i * Q4:
+                                                     (half_i + 1) * Q4],
+                                             emc_full[half_i * Q4:
+                                                      (half_i + 1) * Q4])
+                        if STREAM_ABLATE == "no_re":
+                            le, lo_ = ll[:Q4], ll[Q4:]
+                            he, ho = hh[:Q4], hh[Q4:]
+                        else:
+                            le, lo_, he, ho = reg_ex(
+                                ge, go, ll[:Q4], ll[Q4:],
+                                hh[:Q4], hh[Q4:])
+                        outs_m += [e, o]
+                        outs_l += [le, lo_]
+                        outs_h += [he, ho]
+                    mB = outs_m
+                    loAB = outs_l
+                    hiAB = outs_h
+                    keys = [outs_m[c] * KEYC + iota_B[c]
+                            + oldest_bit(outs_l[c], outs_h[c])
+                            for c in range(4)]
+                else:
+                    outs_m, outs_l, outs_h = [], [], []
+                    for c in range(4):
+                        e, o, ge, go = acs_m(mB[c][:Q8], mB[c][Q8:],
+                                             em_full[c * Q8:(c + 1) * Q8],
+                                             emc_full[c * Q8:(c + 1) * Q8])
+                        if STREAM_ABLATE == "no_re":
+                            le, lo_ = loAB[c][:Q8], loAB[c][Q8:]
+                            he, ho = hiAB[c][:Q8], hiAB[c][Q8:]
+                        else:
+                            le, lo_, he, ho = reg_ex(
+                                ge, go, loAB[c][:Q8], loAB[c][Q8:],
+                                hiAB[c][:Q8], hiAB[c][Q8:])
+                        outs_m += [e, o]
+                        outs_l += [le, lo_]
+                        outs_h += [he, ho]
+                    # sC -> natural for all three carried tensors.
+                    m = jnp.stack(outs_m, axis=0).transpose(1, 0, 2) \
+                           .reshape(NS, B_TILE)
+                    lo = jnp.stack(outs_l, axis=0).transpose(1, 0, 2) \
+                            .reshape(NS, B_TILE)
+                    hi = jnp.stack(outs_h, axis=0).transpose(1, 0, 2) \
+                            .reshape(NS, B_TILE)
+                    keys = [m * KEYC + iota_N + oldest_bit(lo, hi)]
+                if STREAM_ABLATE == "no_emit":
+                    continue
+                # Reduce this step's keys to one Q8-row partial with
+                # pairwise mins (cheap VPU ops); the expensive cross-
+                # sublane reduction is deferred to once per 8-step group.
+                sub = []
+                for k_ in keys:
+                    nblk = k_.shape[0] // Q8
+                    sub += [k_[b_ * Q8:(b_ + 1) * Q8] for b_ in range(nblk)]
+                part = sub[0]
+                for k_ in sub[1:]:
+                    part = jnp.minimum(part, k_)
+                partials.append(part)                     # (Q8, B)
+            if (g * PACK + PACK - 1) % 3 == 2:
+                mn = jnp.min(m, axis=0, keepdims=True)
+                m = m - mn
+            if STREAM_ABLATE == "no_emit":
+                out_ref[g, 0, :] = jnp.zeros((B_TILE,), jnp.uint8)
+                continue
+            # Deferred emit: one sublane reduction per group instead of
+            # eight — min each step's Q8-row partial to its emitted bit,
+            # then pack the byte with a weighted row sum.
+            kk = jnp.stack(partials, axis=0)              # (8, Q8, B)
+            kmin = jnp.min(kk, axis=1)                    # (8, B)
+            wrow = jax.lax.broadcasted_iota(CDT, (PACK, B_TILE), 0)
+            byte = jnp.sum((kmin & one) << wrow, axis=0, keepdims=True)
+            out_ref[g, 0, :] = byte.astype(jnp.uint8).reshape(B_TILE)
+        m_ref[:] = m
+        lo_ref[:] = lo
+        hi_ref[:] = hi
+        mo_ref[:] = m
+        lo_out_ref[:] = lo
+        hi_out_ref[:] = hi
+
+    return kernel
+
+
+def stream_state_init(spec: CodeSpec, batch: int):
+    """Fresh carried state for `stream_decode_batch`: standard initial
+    metrics, zeroed survivor registers.  int32 [3, NS, B]."""
+    NS = spec.num_states
+    m = np.full((NS,), init_metric_value(spec), np.int32)
+    m[spec.starting_state] = 0
+    st = np.zeros((3, NS, batch), np.int32)
+    st[0] = m[:, None]
+    return jnp.asarray(st)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def stream_decode_batch(spec: CodeSpec, segments, state,
+                        traceback_len: int = 0, interpret: bool = False):
+    """Streaming register-exchange decode of a chunk (NS >= 64, k=1).
+
+    Bit-exact twin of ops/viterbi.viterbi_decode_stream's per-step emit,
+    batched over channels at fused-kernel speed.
+
+    Args:
+      segments: uint8 [B, T] hard segments; T % CHUNK_F == 0, B % B_TILE
+        == 0 (callers pad, or use ops/streaming's scan path for tails).
+      state: int32 [3, NS, B] carried (metrics, reg-lo, reg-hi) from
+        `stream_state_init` or a previous call.
+      traceback_len: W; 2 <= W <= 64 (decode delay, viterbiDecoder.h:19).
+    Returns:
+      (emitted uint8 [T//PACK, B] packed symbols — bit j of group g is
+       the sliding-window emit at chunk step g*8+j, i.e. the symbol for
+       global step (count + g*8+j) - (W-1) — and the new state).
+    """
+    spec.validate_for_butterfly()
+    NS = spec.num_states
+    if NS < 64:
+        raise ValueError("streaming kernel requires >= 64 states")
+    W = traceback_len or spec.traceback_len
+    if not 2 <= W <= 64:
+        raise ValueError(f"traceback_len {W} outside [2, 64]")
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    if T % CHUNK_F or B % B_TILE:
+        raise ValueError(f"padded shapes required: T={T} %{CHUNK_F}, "
+                         f"B={B} %{B_TILE}")
+    seg_t = segments.T
+    nt = T // CHUNK_F
+    nb = B // B_TILE
+    Wm = jnp.asarray(_em_weight_matrix(spec))
+    out, mo, lo, hi = pl.pallas_call(
+        _stream_kernel_fused(spec, nt, W),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec(Wm.shape, lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK_F, B_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, NS, B_TILE), lambda b, t: (0, 0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((CHUNK_F // PACK, 1, B_TILE),
+                                lambda b, t: (t, 0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((T // PACK, 1, B), jnp.uint8),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT),
+                        pltpu.VMEM((NS, B_TILE), CDT),
+                        pltpu.VMEM((NS, B_TILE), CDT)],
+        interpret=interpret,
+    )(Wm, seg_t, jnp.asarray(state, jnp.int32))
+    return out[:, 0, :], jnp.stack([mo, lo, hi])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_batch_bytes(spec: CodeSpec, segments,
+                               message_bits: int | None = None,
+                               interpret: bool = False):
+    """Batched byte-level decode through the Pallas kernels.
+
+    Byte twin of `viterbi_decode_batch` (MSb-first fill, zero-padded
+    trailing byte), matching `encode_bytes`/the reference's packed output
+    (viterbiDecoder.c:152-189).  Returns uint8 [B, ceil(L/8)].
+    """
+    from ..ops.bits import pack_bits
+    bits = viterbi_decode_batch(spec, segments, message_bits, interpret)
+    pad = (-bits.shape[-1]) % 8
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    return pack_bits(bits)

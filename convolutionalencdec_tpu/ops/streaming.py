@@ -141,6 +141,7 @@ class StreamingDecoder:
     def __post_init__(self):
         self.traceback_len = self.traceback_len or self.spec.traceback_len
         self._state = decoder_init(self.spec, self.traceback_len)
+        self._bit_carry = np.zeros((0,), np.uint8)
 
     def decode(self, segments, last: bool = False) -> np.ndarray:
         """Feed a chunk; returns the newly decoded message bits."""
@@ -164,5 +165,175 @@ class StreamingDecoder:
             self.reset()
         return _symbols_to_bits(self.spec, out)
 
+    def decode_bytes(self, segments, last: bool = False) -> np.ndarray:
+        """Feed a chunk; returns newly completed decoded BYTES (MSb-first
+        fill, viterbiDecoderButterflyk1.c:245-249).  Partial bytes carry
+        across chunks — the decode-side twin of convEncoderState_t's
+        remainingUncoded seam (convEncode.h:36-37), which is where the
+        8 % k != 0 spillover lives.  At `last`, a trailing partial byte
+        is flushed zero-padded."""
+        from .bits import pack_bits_np
+        bits = np.concatenate([self._bit_carry,
+                               self.decode(segments, last)])
+        if last:
+            pad = (-bits.size) % 8
+            bits = np.pad(bits, (0, pad))
+            self._bit_carry = np.zeros((0,), np.uint8)
+            return pack_bits_np(bits)
+        n_full = bits.size // 8 * 8
+        self._bit_carry = bits[n_full:]
+        return pack_bits_np(bits[:n_full])
+
     def reset(self):
         self._state = decoder_init(self.spec, self.traceback_len)
+        self._bit_carry = np.zeros((0,), np.uint8)
+
+
+def _registers_to_planes(registers):
+    """uint8 [B, NS, W] symbol registers (newest at col 0) -> two int32
+    [NS, B] bit planes (bit j = symbol j steps old; `hi` continues at 32)
+    for the streaming Pallas kernel."""
+    B, NS, W = registers.shape
+    r = jnp.asarray(registers, jnp.int32)
+    j = jnp.arange(W)
+    lo = jnp.sum(jnp.where(j < 32, r << jnp.minimum(j, 31), 0), axis=-1)
+    hi = jnp.sum(jnp.where(j >= 32, r << jnp.maximum(j - 32, 0), 0), axis=-1)
+    return lo.T, hi.T
+
+
+def _planes_to_registers(lo, hi, W):
+    """Inverse of `_registers_to_planes`."""
+    j = jnp.arange(W)
+    lo_b = (lo.T[:, :, None] >> jnp.minimum(j, 31)) & 1     # [B, NS, W]
+    hi_b = (hi.T[:, :, None] >> jnp.maximum(j - 32, 0)) & 1
+    return jnp.where(j < 32, lo_b, hi_b).astype(jnp.uint8)
+
+
+@dataclasses.dataclass
+class StreamingDecoderBatch:
+    """Batched stateful streaming decoder at kernel speed.
+
+    The production streaming seam: B independent channels decoded with
+    sliding-window emission (decode delay = traceback_len), bit-exact to
+    per-channel `StreamingDecoder`/`viterbi_decode_stream`.  Chunk
+    prefixes that are multiples of the kernel chunk (48 steps) run
+    through the fused register-exchange Pallas kernel
+    (kernels.stream_decode_batch); ragged tails fall back to the scan
+    path on the same carried state, so ANY chunking decodes identically.
+
+    Same caller contract as StreamingDecoder: one packet per last=True
+    cycle, whose final chunk ends at the packet's last segment.
+    """
+    spec: CodeSpec
+    batch: int
+    traceback_len: int = 0
+    use_kernel: bool | None = None
+    interpret: bool = False
+
+    def __post_init__(self):
+        self.traceback_len = self.traceback_len or self.spec.traceback_len
+        if self.use_kernel is None:
+            self.use_kernel = (self.spec.num_states >= 64
+                               and self.spec.k == 1
+                               and self.traceback_len <= 64)
+        if self.use_kernel and self.traceback_len > 64:
+            raise ValueError("kernel streaming supports traceback_len <= 64")
+        self.reset()
+
+    def reset(self):
+        W = self.traceback_len
+        NS = self.spec.num_states
+        m = jnp.full((NS,), init_metric_value(self.spec), jnp.int32)
+        m = m.at[self.spec.starting_state].set(0)
+        self._metrics = jnp.broadcast_to(m[None], (self.batch, NS))
+        self._registers = jnp.zeros((self.batch, NS, W), jnp.uint8)
+        self._count = 0
+        self._bit_carry = np.zeros((self.batch, 0), np.uint8)
+
+    def _decode_kernel(self, segments):
+        """Aligned-prefix decode through the Pallas kernel."""
+        from ..kernels.acs_pallas import (
+            stream_decode_batch, B_TILE, PACK)
+        B, T = segments.shape
+        W = self.traceback_len
+        Bp = -(-B // B_TILE) * B_TILE
+        lo, hi = _registers_to_planes(self._registers)
+        st = jnp.stack([self._metrics.T, lo, hi])
+        if Bp != B:
+            st = jnp.pad(st, ((0, 0), (0, 0), (0, Bp - B)))
+            segments = jnp.pad(segments, ((0, Bp - B), (0, 0)))
+        packed, st = stream_decode_batch(self.spec, segments, st, W,
+                                         self.interpret)
+        j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
+        sym = ((packed[:, None, :] >> j) & 1).reshape(T, Bp)[:, :B].T
+        self._metrics = st[0, :, :B].T
+        self._registers = _planes_to_registers(st[1, :, :B],
+                                               st[2, :, :B], W)
+        return sym                                   # (B, T) uint8
+
+    def _decode_scan(self, segments):
+        """Ragged-tail decode via the per-channel scan path."""
+        W = self.traceback_len
+        state = DecoderState(self._metrics, self._registers,
+                             jnp.full((self.batch,), self._count,
+                                      jnp.int32))
+        new_state, symbols, _ = jax.vmap(
+            lambda m, r, c, s: decode_chunk(
+                self.spec, DecoderState(m, r, c), s, W),
+            in_axes=(0, 0, 0, 0), out_axes=(0, 0, 0))(
+            state.metrics, state.registers, state.count,
+            jnp.asarray(segments))
+        self._metrics = new_state.metrics
+        self._registers = new_state.registers
+        return symbols                               # (B, T) uint8
+
+    def decode(self, segments, last: bool = False) -> np.ndarray:
+        """Feed a chunk of [B, T'] segments; returns the newly decoded
+        message bits [B, bits]."""
+        from ..kernels.acs_pallas import CHUNK_F
+        segments = jnp.asarray(segments, jnp.uint8)
+        B, T = segments.shape
+        if B != self.batch:
+            raise ValueError(f"batch {B} != {self.batch}")
+        if last and T == 0:
+            raise ValueError(
+                "the last=True chunk must contain the packet's final "
+                "segments (see StreamingDecoder docstring)")
+        Tk = (T // CHUNK_F) * CHUNK_F if self.use_kernel else 0
+        parts = []
+        if Tk:
+            parts.append(self._decode_kernel(segments[:, :Tk]))
+        if T > Tk:
+            parts.append(self._decode_scan(segments[:, Tk:]))
+        sym = np.concatenate([np.asarray(p) for p in parts], axis=1)
+        W = self.traceback_len
+        idx = self._count + np.arange(T)
+        self._count += T
+        out = sym[:, idx >= (W - 1)]
+        if last:
+            flush = np.asarray(self._registers[:, 0, self.spec.S:W - 1])
+            out = np.concatenate([out, flush[:, ::-1]], axis=1)
+            self.reset()
+        return _symbols_to_bits_batch(self.spec, out)
+
+
+    def decode_bytes(self, segments, last: bool = False) -> np.ndarray:
+        """Batched byte-granular streaming decode with partial-byte carry
+        (see StreamingDecoder.decode_bytes).  Returns uint8 [B, bytes]."""
+        from .bits import pack_bits_np
+        bits = np.concatenate([self._bit_carry,
+                               self.decode(segments, last)], axis=1)
+        if last:
+            pad = (-bits.shape[1]) % 8
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+            self._bit_carry = np.zeros((self.batch, 0), np.uint8)
+            return pack_bits_np(bits)
+        n_full = bits.shape[1] // 8 * 8
+        self._bit_carry = bits[:, n_full:]
+        return pack_bits_np(bits[:, :n_full])
+
+
+def _symbols_to_bits_batch(spec: CodeSpec, symbols: np.ndarray) -> np.ndarray:
+    bit_idx = np.arange(spec.k - 1, -1, -1)
+    bits = (symbols[:, :, None].astype(np.int32) >> bit_idx) & 1
+    return bits.astype(np.uint8).reshape(symbols.shape[0], -1)

@@ -275,3 +275,26 @@ def viterbi_decode_stream(spec: CodeSpec, segments, traceback_len: int = 0):
     bit_idx = jnp.arange(spec.k - 1, -1, -1, dtype=jnp.int32)
     bits = ((us[:, None].astype(jnp.int32) >> bit_idx) & 1).astype(jnp.uint8)
     return bits.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def viterbi_decode_bytes(spec: CodeSpec, segments,
+                         message_bits: int | None = None):
+    """Hard-decision block decode to packed bytes.
+
+    The byte twin of `viterbi_decode`, mirroring `encode_bytes`: decoded
+    bits fill bytes MSb-first (viterbiDecoderButterflyk1.c:245-249); a
+    trailing partial byte is zero-padded.  When 8 % k != 0, decoded k-bit
+    symbols straddle byte boundaries exactly as the reference's spillover
+    path does (viterbiDecoder.c:152-189).
+
+    Returns uint8 [ceil(L_bits / 8)] packed bytes.
+    """
+    from .bits import pack_bits
+    bits = viterbi_decode(spec, segments)
+    L = message_bits if message_bits is not None else bits.shape[-1]
+    bits = bits[..., :L]
+    pad = (-L) % 8
+    if pad:
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    return pack_bits(bits)

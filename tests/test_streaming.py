@@ -52,3 +52,35 @@ def test_streaming_decoder_two_packets():
         coded = np.asarray(encode_bits(spec, msg)[0])
         out = dec.decode(coded, last=True)
         np.testing.assert_array_equal(out, msg)
+
+
+def test_streaming_batch_kernel_matches_scan_stream():
+    """StreamingDecoderBatch (fused register-exchange kernel + scan tail)
+    is bit-identical to per-packet viterbi_decode_stream across ragged
+    chunk boundaries — the reference's streaming emit at kernel speed
+    (viterbiDecoder.c:122-190)."""
+    from convolutionalencdec_tpu.ops.streaming import StreamingDecoderBatch
+    from convolutionalencdec_tpu.ops.viterbi import viterbi_decode_stream
+    spec = NASA_K7
+    rng = np.random.default_rng(23)
+    B, L = 8, 250                    # T = 256
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.02
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+
+    dec = StreamingDecoderBatch(spec, batch=B, use_kernel=True,
+                                interpret=True)
+    # ragged chunks: one kernel-aligned prefix, a ragged middle, the rest
+    cuts = [96, 149, coded.shape[1]]
+    out, prev = [], 0
+    for c in cuts:
+        out.append(dec.decode(coded[:, prev:c], last=(c == cuts[-1])))
+        prev = c
+    got = np.concatenate(out, axis=1)
+
+    want = np.stack([np.asarray(viterbi_decode_stream(spec, coded[b]))
+                     for b in range(B)])
+    np.testing.assert_array_equal(got, want)
+    # sliding-window decode corrects the 2% noise away from the seams
+    assert (got != msgs).mean() < 5e-2
