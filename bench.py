@@ -69,6 +69,20 @@ def main():
             break
         iters *= 4
 
+    if "--profile" in sys.argv:
+        # jax.profiler trace of the steady-state loop + analytic HBM
+        # traffic counters (SURVEY §5 telemetry; docs/design.md table).
+        from convolutionalencdec_tpu.utils import traffic_report
+        trace_dir = "/tmp/fec_trace"
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(8):
+            out = decode(coded_dev)
+        out.block_until_ready()
+        jax.profiler.stop_trace()
+        print(traffic_report(spec, B, L + spec.S), file=sys.stderr)
+        print(f"profiler trace written to {trace_dir} "
+              f"(view: tensorboard --logdir {trace_dir})", file=sys.stderr)
+
     mbps = (B * L * iters) / dt / 1e6
     print(json.dumps({
         "metric": "decode_throughput",

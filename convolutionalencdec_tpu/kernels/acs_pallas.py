@@ -1087,9 +1087,10 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
     Q8 = NS // 8
     n = spec.n
     KEYC = 2 * NS
+    TP = W > 32        # two register planes; W <= 32 keeps only `lo`
 
     def oldest_bit(lo, hi):
-        if W <= 32:
+        if not TP:
             return (lo >> (W - 1)) & 1
         return (hi >> (W - 33)) & 1
 
@@ -1140,17 +1141,21 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
         def reg_ex(gt_e, gt_o, lo_f, lo_s, hi_f, hi_s):
             """Register exchange for one merge: select by the ACS masks,
             shift in the destination's input bit (even dst -> 0, odd -> 1;
-            the state LSB is the newest input, encode_one_input)."""
+            the state LSB is the newest input, encode_one_input).  With
+            W <= 32 the high plane is dead and skipped entirely."""
             lo_e = jnp.where(gt_e, lo_s, lo_f)
             lo_o = jnp.where(gt_o, lo_s, lo_f)
-            hi_e = jnp.where(gt_e, hi_s, hi_f)
-            hi_o = jnp.where(gt_o, hi_s, hi_f)
-            c_e = (lo_e >> 31) & one
-            c_o = (lo_o >> 31) & one
+            if TP:
+                hi_e = jnp.where(gt_e, hi_s, hi_f)
+                hi_o = jnp.where(gt_o, hi_s, hi_f)
+                c_e = (lo_e >> 31) & one
+                c_o = (lo_o >> 31) & one
+                hi_e = (hi_e << 1) | c_e
+                hi_o = (hi_o << 1) | c_o
+            else:
+                hi_e, hi_o = hi_f, hi_s
             lo_e = lo_e << 1
             lo_o = (lo_o << 1) | one
-            hi_e = (hi_e << 1) | c_e
-            hi_o = (hi_o << 1) | c_o
             return lo_e, lo_o, hi_e, hi_o
 
         m = m_ref[:]
@@ -1235,8 +1240,9 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
                            .reshape(NS, B_TILE)
                     lo = jnp.stack(outs_l, axis=0).transpose(1, 0, 2) \
                             .reshape(NS, B_TILE)
-                    hi = jnp.stack(outs_h, axis=0).transpose(1, 0, 2) \
-                            .reshape(NS, B_TILE)
+                    if TP:
+                        hi = jnp.stack(outs_h, axis=0).transpose(1, 0, 2) \
+                                .reshape(NS, B_TILE)
                     keys = [m * KEYC + iota_N + oldest_bit(lo, hi)]
                 if STREAM_ABLATE == "no_emit":
                     continue
@@ -1262,15 +1268,22 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
             # then pack the byte with a weighted row sum.
             kk = jnp.stack(partials, axis=0)              # (8, Q8, B)
             kmin = jnp.min(kk, axis=1)                    # (8, B)
-            wrow = jax.lax.broadcasted_iota(CDT, (PACK, B_TILE), 0)
-            byte = jnp.sum((kmin & one) << wrow, axis=0, keepdims=True)
+            bits = kmin & one                             # row j = bit j
+            # Pack the byte with a constant-shift halving tree (variable
+            # vector shifts lower poorly on Mosaic).
+            b4 = bits[0:4] + (bits[4:8] << 4)             # weights 1..8 | 16..128
+            b2 = b4[0:2] + (b4[2:4] << 2)
+            byte = b2[0:1] + (b2[1:2] << 1)
             out_ref[g, 0, :] = byte.astype(jnp.uint8).reshape(B_TILE)
         m_ref[:] = m
         lo_ref[:] = lo
-        hi_ref[:] = hi
         mo_ref[:] = m
         lo_out_ref[:] = lo
-        hi_out_ref[:] = hi
+        if TP:
+            hi_ref[:] = hi
+            hi_out_ref[:] = hi
+        else:
+            hi_out_ref[:] = jnp.zeros((NS, B_TILE), CDT)
 
     return kernel
 

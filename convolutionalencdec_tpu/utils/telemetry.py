@@ -69,3 +69,62 @@ class ThroughputMeter:
     def average_mbps(self) -> float:
         dt = time.perf_counter() - self._start
         return self._total_bits / dt / 1e6 if dt > 0 else 0.0
+
+
+def kernel_traffic(spec: CodeSpec, batch: int, steps: int,
+                   mode: str = "block") -> dict:
+    """Analytic HBM traffic of one decode call, in bytes and bytes per
+    decoded bit (SURVEY §5 tracing row; per-kernel counters the reference
+    never needed because its working set was cache-resident).
+
+    Modes: "block" (fused fwd + traceback), "block_soft", "stream"
+    (register-exchange).  VMEM-resident traffic (metrics/register
+    scratch) is excluded — it never touches HBM.
+    """
+    NS = spec.num_states
+    n = spec.n
+    B, T = batch, steps
+    dec_bytes = T // 8 * NS * B          # packed decisions, uint8
+    bits_out = T // 8 * B                # packed decoded bits
+    fm = NS * B * 4                      # final metrics, int32
+    if mode == "block":
+        fwd_r, fwd_w = T * B, dec_bytes + fm
+        tb_r, tb_w = dec_bytes + NS * B, bits_out
+    elif mode == "block_soft":
+        fwd_r, fwd_w = T * n * B, dec_bytes + fm
+        tb_r, tb_w = dec_bytes + NS * B, bits_out
+    elif mode == "stream":
+        state = 3 * NS * B * 4
+        fwd_r, fwd_w = T * B + state, bits_out + state
+        tb_r = tb_w = 0
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    total = fwd_r + fwd_w + tb_r + tb_w
+    decoded_bits = (T - spec.S) * B * spec.k
+    return {
+        "mode": mode,
+        "forward_read_bytes": fwd_r,
+        "forward_write_bytes": fwd_w,
+        "traceback_read_bytes": tb_r,
+        "traceback_write_bytes": tb_w,
+        "total_bytes": total,
+        "bytes_per_decoded_bit": total / decoded_bits,
+        "decoded_bits": decoded_bits,
+    }
+
+
+def traffic_report(spec: CodeSpec, batch: int, steps: int) -> str:
+    """Render the per-kernel traffic table for all decode modes."""
+    rows = [kernel_traffic(spec, batch, steps, m)
+            for m in ("block", "block_soft", "stream")]
+    out = [f"HBM traffic per call (B={batch}, T={steps}, "
+           f"K={spec.K}, NS={spec.num_states}):",
+           f"  {'mode':11s} {'fwd R':>10s} {'fwd W':>10s} {'tb R':>10s} "
+           f"{'tb W':>10s} {'total':>11s} {'B/bit':>7s}"]
+    for r in rows:
+        out.append(
+            f"  {r['mode']:11s} {r['forward_read_bytes']:>10,} "
+            f"{r['forward_write_bytes']:>10,} {r['traceback_read_bytes']:>10,} "
+            f"{r['traceback_write_bytes']:>10,} {r['total_bytes']:>11,} "
+            f"{r['bytes_per_decoded_bit']:>7.2f}")
+    return "\n".join(out)

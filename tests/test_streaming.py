@@ -84,3 +84,23 @@ def test_streaming_batch_kernel_matches_scan_stream():
     np.testing.assert_array_equal(got, want)
     # sliding-window decode corrects the 2% noise away from the seams
     assert (got != msgs).mean() < 5e-2
+
+
+def test_streaming_batch_kernel_single_plane_w32():
+    """W <= 32 uses the single-register-plane fast path; still bit-exact
+    vs the scan streaming decoder at the same window."""
+    from convolutionalencdec_tpu.ops.streaming import StreamingDecoderBatch
+    from convolutionalencdec_tpu.ops.viterbi import viterbi_decode_stream
+    spec = NASA_K7
+    rng = np.random.default_rng(29)
+    B, L = 4, 186                     # T = 192 = 4 kernel chunks
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.02
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    dec = StreamingDecoderBatch(spec, batch=B, traceback_len=32,
+                                use_kernel=True, interpret=True)
+    got = dec.decode(coded, last=True)
+    want = np.stack([np.asarray(viterbi_decode_stream(spec, coded[b], 32))
+                     for b in range(B)])
+    np.testing.assert_array_equal(got, want)
