@@ -28,7 +28,7 @@ from .ops.metrics import (
     quantize_llrs,
     viterbi_decode_soft,
 )
-from .ops import channel, metrics, puncture
+from .ops import channel, metrics, puncture, streaming
 
 # Subpackages imported lazily by most callers; exposed for discoverability.
 from . import kernels, parallel, harness

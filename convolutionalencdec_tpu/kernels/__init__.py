@@ -9,6 +9,7 @@ from .acs_pallas import (
     viterbi_decode_batch,
     viterbi_decode_batch_soft,
     viterbi_decode_batch_bytes,
+    viterbi_decode_batch_generic,
     acs_forward_batch,
     acs_forward_batch_soft,
     acs_forward_batch_fused,
@@ -24,6 +25,7 @@ __all__ = [
     "viterbi_decode_batch",
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
+    "viterbi_decode_batch_generic",
     "acs_forward_batch",
     "acs_forward_batch_soft",
     "acs_forward_batch_fused",

@@ -333,13 +333,21 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
     The Pallas fast path: equivalent to `jax.vmap(viterbi_decode)` but
     ~raw-VPU speed.  Bit-identical to the scan reference decoder.
 
+    Any code decodes: k=1 poly-symmetric codes ride the butterfly
+    kernels (fused 3-stage for NS >= 64); everything else — k > 1 or
+    asymmetric generators — dispatches to the generic 2^k-way kernels
+    (the runtime twin of the reference's VITERBI_DECODER_HARD dispatch,
+    viterbiDecoder.h:87-95).
+
     Args:
-      segments: uint8 [B, T] hard segments, T = L + S for k=1.
-      message_bits: L; defaults to T - S.
+      segments: uint8 [B, T] hard segments, T = L/k + S.
+      message_bits: decoded bit count L; defaults to (T - S) * k.
     Returns:
       uint8 [B, L] decoded message bits.
     """
-    spec.validate_for_butterfly()
+    if not (spec.k == 1 and spec.has_poly_symmetry):
+        return viterbi_decode_batch_generic(spec, segments, message_bits,
+                                            interpret)
     segments = jnp.asarray(segments, jnp.uint8)
     B, T = segments.shape
     L = message_bits if message_bits is not None else T - spec.S
@@ -1380,3 +1388,255 @@ def viterbi_decode_batch_bytes(spec: CodeSpec, segments,
     if pad:
         bits = jnp.pad(bits, ((0, 0), (0, pad)))
     return pack_bits(bits)
+
+
+# ---------------------------------------------------------------------------
+# Generic-k kernels: any rate-k/n code, 2^k-way ACS (viterbiDecoder.c:95-131).
+#
+# The butterfly fused kernels above need k == 1 and poly symmetry.  The
+# generic trellis still has contiguous structure on TPU once destinations
+# are processed in "u-block" order: dst state d = s*E + u (u = the k new
+# input bits, E = 2^k), so block u's candidates for edge e are the
+# CONTIGUOUS source rows m[e*C:(e+1)*C] with C = NS/E
+# (src = (d >> k) | e << (S-1)k, prev_state_table).  The E-way compare is
+# an index-tracking tournament (lowest-e ties, matching jnp.argmin in the
+# scan reference); decisions are stored one byte per step per state and
+# the one-hot traceback's select network becomes an E x E blockwise
+# masked accumulate.  Built for coverage of small/non-symmetric codes —
+# the k=1 butterfly path remains the throughput champion.
+# ---------------------------------------------------------------------------
+
+CHUNK_G = 32   # generic-kernel steps per program (multiple of PACK)
+
+
+def _em_weight_matrix_generic(spec: CodeSpec) -> np.ndarray:
+    """[E*NS, n+1] int8 MXU weights, rows ordered (u, e, s):
+    em = #set(cb) + sum_j (1-2*cb_j)*r_j for cb = code(src = s + e*C, u)."""
+    from ..ops.encode import encode_one_input
+    NS = spec.num_states
+    E = spec.num_edges_per_state
+    C = NS // E
+    n = spec.n
+    rows = np.zeros((E * NS, n + 1), np.int64)
+    for u in range(E):
+        for e in range(E):
+            for s in range(C):
+                src = s + e * C
+                seg, _ = encode_one_input(spec, src, u)
+                planes = [(seg >> j) & 1 for j in range(n)]
+                r = u * E * C + e * C + s
+                rows[r, 0] = sum(planes)
+                rows[r, 1:] = [1 - 2 * p for p in planes]
+    return rows.astype(np.int8)
+
+
+def _fwd_kernel_generic(spec: CodeSpec, nt: int):
+    NS = spec.num_states
+    E = spec.num_edges_per_state
+    C = NS // E
+    k = spec.k
+    n = spec.n
+    init_hi = init_metric_value(spec)
+
+    def kernel(w_ref, seg_ref, dec_ref, m_ref):
+        # w_ref: (E*NS, n+1) int8; seg_ref: (CHUNK_G, B) uint8
+        # dec_ref: (CHUNK_G, NS, B) uint8 decisions, rows in (u, s) order
+        # m_ref: (NS, B) int32 scratch, natural order
+        t_chunk = pl.program_id(1)
+
+        @pl.when(t_chunk == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi).astype(CDT)
+
+        seg_all = seg_ref[:].astype(jnp.int32)
+        r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
+        ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
+
+        m = m_ref[:]
+        for g in range(CHUNK_G // PACK):
+            Rg = jnp.concatenate(
+                [ones_row] + [r_planes[bit][g * PACK:(g + 1) * PACK]
+                              .reshape(1, PACK * B_TILE) for bit in range(n)],
+                axis=0).astype(jnp.int8)
+            EM = jax.lax.dot_general(
+                w_ref[:], Rg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)      # (E*NS, 8*B)
+            for j in range(PACK):
+                t_row = g * PACK + j
+                blocks = []
+                for u in range(E):
+                    # Index-tracking tournament over the E candidates
+                    # (lowest e wins ties, = jnp.argmin in the scan).
+                    cands = []
+                    for e in range(E):
+                        em = EM[(u * E + e) * C:(u * E + e + 1) * C,
+                                j * B_TILE:(j + 1) * B_TILE]
+                        cands.append((m[e * C:(e + 1) * C] + em,
+                                      jnp.full((C, B_TILE), e, CDT)))
+                    while len(cands) > 1:
+                        nxt = []
+                        for a in range(0, len(cands), 2):
+                            (c0, i0), (c1, i1) = cands[a], cands[a + 1]
+                            lt = c1 < c0
+                            nxt.append((jnp.where(lt, c1, c0),
+                                        jnp.where(lt, i1, i0)))
+                        cands = nxt
+                    best, idx = cands[0]
+                    dec_ref[t_row, u * C:(u + 1) * C, :] = \
+                        idx.astype(jnp.uint8)
+                    blocks.append(best)
+                # (u, s) blocks -> natural: state s*E + u.
+                m = jnp.stack(blocks, axis=1).reshape(NS, B_TILE)
+            mn = jnp.min(m, axis=0, keepdims=True)
+            m = m - mn
+        m_ref[:] = m
+
+    return kernel
+
+
+def _tb_kernel_generic(spec: CodeSpec, nt: int):
+    NS = spec.num_states
+    E = spec.num_edges_per_state
+    C = NS // E
+
+    def kernel(tmask_ref, dec_ref, out_ref, h_ref):
+        # tmask_ref: (T, 1) int32 SMEM (whole array) — 1 for live steps,
+        #   0 for the padded tail; masked steps have decision 0 and the
+        #   walk rests at state 0 (its e=0 predecessor is itself).
+        # dec_ref: (CHUNK_G, NS, B) uint8 decisions in (u, s) row order
+        # out_ref: (CHUNK_G, 1, B) uint8 emitted symbols (u of the state)
+        # h_ref: (NS, B) int32 one-hot walk state, natural order
+        i = pl.program_id(1)
+        nt_total = pl.num_programs(1)
+        tbase = (nt_total - 1 - i) * CHUNK_G
+
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+
+        @pl.when(i == 0)
+        def _():
+            h_ref[:] = jnp.where(s_idx == 0, 1, 0).astype(CDT)
+
+        zf = jnp.asarray(0, CDT)
+        h = h_ref[:]
+        for g in range(CHUNK_G // PACK - 1, -1, -1):
+            syms = []
+            for j in range(PACK - 1, -1, -1):
+                t_row = g * PACK + j
+                tm = tmask_ref[tbase + t_row, 0]
+                dec32 = dec_ref[t_row].astype(jnp.int32) * tm
+                # natural -> (u, s) blocks: ublk[u] = h[s*E + u].
+                hub = h.reshape(C, E, B_TILE).transpose(1, 0, 2)
+                ublk = [hub[u] for u in range(E)]
+                db = [dec32[u * C:(u + 1) * C] for u in range(E)]
+                # Emitted symbol = u where the one-hot mass sits.
+                w = ublk[1]
+                for u in range(2, E):
+                    w = w + ublk[u] * u
+                syms.append(w)
+                # Select network: pred = s + e*C, so edge-e contributions
+                # from every u-block land in the contiguous chunk e.
+                accs = []
+                for e in range(E):
+                    a = jnp.where(db[0] == e, ublk[0], zf)
+                    for u in range(1, E):
+                        a = a + jnp.where(db[u] == e, ublk[u], zf)
+                    accs.append(a)
+                h = jnp.concatenate(accs, axis=0)       # natural order
+            # syms collected newest-first: restore time order and reduce
+            # each step's (C, B) mass to its symbol row once per group.
+            ws = jnp.stack(syms[::-1], axis=0)          # (8, C, B)
+            srow = jnp.sum(ws, axis=1)                  # (8, B)
+            out_ref[g * PACK:(g + 1) * PACK, 0, :] = \
+                srow.astype(jnp.uint8)
+        h_ref[:] = h
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def acs_forward_batch_generic(spec: CodeSpec, segments,
+                              interpret: bool = False):
+    """Generic-k forward ACS.  segments uint8 [B, T] (T % CHUNK_G == 0,
+    B % B_TILE == 0).  Returns decisions uint8 [T, NS, B] in (u, s) row
+    order (consumed by `traceback_batch_generic`)."""
+    NS = spec.num_states
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    if T % CHUNK_G or B % B_TILE:
+        raise ValueError(f"padded shapes required: T={T} %{CHUNK_G}, "
+                         f"B={B} %{B_TILE}")
+    seg_t = segments.T
+    nt = T // CHUNK_G
+    nb = B // B_TILE
+    W = jnp.asarray(_em_weight_matrix_generic(spec))
+    return pl.pallas_call(
+        _fwd_kernel_generic(spec, nt),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec(W.shape, lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK_G, B_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CHUNK_G, NS, B_TILE),
+                               lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, NS, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
+        interpret=interpret,
+    )(W, seg_t)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def traceback_batch_generic(spec: CodeSpec, decisions, t_actual: int,
+                            interpret: bool = False):
+    """Generic-k traceback.  Returns uint8 [T, B] k-bit symbols."""
+    NS = spec.num_states
+    decisions = jnp.asarray(decisions, jnp.uint8)
+    T, NS_, B = decisions.shape
+    assert NS_ == NS
+    nt = T // CHUNK_G
+    nb = B // B_TILE
+    if not 0 < t_actual <= T:
+        raise ValueError(f"t_actual={t_actual} outside (0, {T}]")
+    tmask = np.zeros((T, 1), np.int32)
+    tmask[:t_actual] = 1
+    out = pl.pallas_call(
+        _tb_kernel_generic(spec, nt),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((T, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK_G, NS, B_TILE),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK_G, 1, B_TILE),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 1, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
+        interpret=interpret,
+    )(jnp.asarray(tmask), decisions)
+    return out[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_batch_generic(spec: CodeSpec, segments,
+                                 message_bits: int | None = None,
+                                 interpret: bool = False):
+    """Batched block decode for ANY code (any k, no symmetry needed)
+    through the generic Pallas kernels; bit-identical to
+    `jax.vmap(viterbi_decode)`.  Returns uint8 [B, (T - S) * k] bits
+    (k-bit symbols expanded MSb-first, traceback_terminated's order)."""
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    L = message_bits if message_bits is not None else (T - spec.S) * spec.k
+    seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK_G, 1)
+    decs = acs_forward_batch_generic(spec, seg_p, interpret)
+    syms = traceback_batch_generic(spec, decs, T, interpret)   # (Tp, Bp)
+    bit_idx = jnp.arange(spec.k - 1, -1, -1, dtype=jnp.int32)
+    bits = ((syms[:, None, :].astype(jnp.int32) >> bit_idx[None, :, None])
+            & 1).astype(jnp.uint8)
+    bits = bits.reshape(-1, syms.shape[-1])                    # (Tp*k, Bp)
+    return bits[:L, :B].T

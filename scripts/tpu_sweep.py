@@ -1,0 +1,189 @@
+"""Round-2 real-TPU validation sweep (VERDICT #8): compile and run every
+kernel configuration CI only interprets, plus throughput via the
+profiler and the full-scale BER acceptance gate.  Writes RESULTS_r02.md
+rows to stdout."""
+import sys, time, glob, gzip, json, collections
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+import convolutionalencdec_tpu as fec
+from convolutionalencdec_tpu.params import CodeSpec, K5_23_35, K9_561_753, TOY_K3
+import convolutionalencdec_tpu.kernels.acs_pallas as K
+from convolutionalencdec_tpu.ops.channel import awgn, bpsk_llr, bpsk_modulate, segments_to_bits
+from convolutionalencdec_tpu.ops.metrics import quantize_llrs, viterbi_decode_soft
+
+rows = []
+
+def noisy(spec, B, L, p, seed=9865):
+    rng = np.random.default_rng(seed)
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < p
+    coded ^= (flip * rng.integers(1, 2**spec.n, coded.shape)).astype(np.uint8)
+    return msgs, coded
+
+def check(name, fn):
+    t0 = time.perf_counter()
+    try:
+        detail = fn()
+        rows.append((name, "PASS", detail, time.perf_counter() - t0))
+        print(f"[PASS] {name}: {detail}", flush=True)
+    except Exception as e:
+        rows.append((name, "FAIL", f"{type(e).__name__}: {e}", 0))
+        print(f"[FAIL] {name}: {type(e).__name__}: {e}", flush=True)
+
+# --- correctness on real TPU, every kernel configuration ---
+def k7_hard():
+    msgs, coded = noisy(fec.NASA_K7, 512, 2042, 0.03)
+    out = np.asarray(K.viterbi_decode_batch(fec.NASA_K7, coded))
+    scan = np.asarray(jax.vmap(lambda s: fec.viterbi_decode(fec.NASA_K7, s))(coded[:16]))
+    assert (scan == out[:16]).all(), "kernel != scan"
+    ber = (out != msgs).mean()
+    assert ber < 2e-3, ber
+    return f"fused NS=64, bit-exact vs scan, BER {ber:.1e} @3%"
+check("K7 hard fused", k7_hard)
+
+def k7_soft():
+    spec = fec.NASA_K7
+    rng = np.random.default_rng(5)
+    B, L = 512, 2042
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0])
+    cbits = np.asarray(segments_to_bits(coded, spec.n))
+    rx = awgn(jax.random.PRNGKey(3), bpsk_modulate(cbits), 2.0, spec.rate)
+    q = np.asarray(quantize_llrs(bpsk_llr(rx, 2.0, spec.rate))).reshape(B, -1, spec.n).astype(np.int8)
+    out = np.asarray(K.viterbi_decode_batch_soft(spec, q))
+    scan = np.asarray(jax.vmap(lambda qq: viterbi_decode_soft(spec, qq))(q[:8].astype(np.int32)))
+    assert (scan == out[:8]).all(), "soft kernel != soft scan"
+    ber = (out != msgs).mean()
+    assert ber < 2e-2, ber
+    return f"fused soft MXU, bit-exact vs scan, BER {ber:.1e} @2dB"
+check("K7 soft fused", k7_soft)
+
+def k9_hard():
+    msgs, coded = noisy(K9_561_753, 512, 2040, 0.03)
+    out = np.asarray(K.viterbi_decode_batch(K9_561_753, coded))
+    scan = np.asarray(jax.vmap(lambda s: fec.viterbi_decode(K9_561_753, s))(coded[:8]))
+    assert (scan == out[:8]).all()
+    return f"fused NS=256, bit-exact vs scan, BER {(out != msgs).mean():.1e}"
+check("K9 hard fused", k9_hard)
+
+def k5_hard():
+    msgs, coded = noisy(K5_23_35, 512, 1020, 0.03)
+    out = np.asarray(K.viterbi_decode_batch(K5_23_35, coded))
+    scan = np.asarray(jax.vmap(lambda s: fec.viterbi_decode(K5_23_35, s))(coded[:16]))
+    assert (scan == out[:16]).all()
+    return f"non-fused NS=16 butterfly, bit-exact vs scan"
+check("K5 hard (NS=16, unfused)", k5_hard)
+
+def k2_generic():
+    spec = CodeSpec(K=3, k=2, g=(0o17, 0o06, 0o13))
+    rng = np.random.default_rng(7)
+    B, L = 512, 1000
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.04
+    coded ^= (flip * rng.integers(1, 8, coded.shape)).astype(np.uint8)
+    out = np.asarray(K.viterbi_decode_batch(spec, coded))
+    scan = np.asarray(jax.vmap(lambda s: fec.viterbi_decode(spec, s))(coded[:8]))
+    assert (scan == out[:8]).all()
+    return "generic 4-way ACS kernel, bit-exact vs scan"
+check("k=2 generic kernel", k2_generic)
+
+def k1_asym_generic():
+    msgs, coded = noisy(TOY_K3, 512, 500, 0.03)
+    out = np.asarray(K.viterbi_decode_batch(TOY_K3, coded))
+    scan = np.asarray(jax.vmap(lambda s: fec.viterbi_decode(TOY_K3, s))(coded[:16]))
+    assert (scan == out[:16]).all()
+    return "asymmetric k=1 via generic kernel, bit-exact vs scan"
+check("TOY_K3 generic kernel", k1_asym_generic)
+
+def stream_k7():
+    from convolutionalencdec_tpu.ops.streaming import StreamingDecoderBatch
+    from convolutionalencdec_tpu.ops.viterbi import viterbi_decode_stream
+    spec = fec.NASA_K7
+    msgs, coded = noisy(spec, 4, 378, 0.02, seed=11)
+    for W in (35, 32):
+        dec = StreamingDecoderBatch(spec, batch=4, traceback_len=W, use_kernel=True)
+        got = np.concatenate([dec.decode(coded[:, :192]),
+                              dec.decode(coded[:, 192:], last=True)], axis=1)
+        want = np.stack([np.asarray(viterbi_decode_stream(spec, coded[b], W)) for b in range(4)])
+        assert (got == want).all(), f"W={W} mismatch"
+    return "register-exchange kernel W=35 (2-plane) + W=32 (1-plane), bit-exact"
+check("streaming kernel", stream_k7)
+
+def sharded_batch():
+    from convolutionalencdec_tpu.parallel import decode_sharded_batch, make_mesh
+    msgs, coded = noisy(fec.NASA_K7, 512, 2042, 0.03)
+    mesh = make_mesh(1, 1)
+    out = np.asarray(decode_sharded_batch(fec.NASA_K7, coded, mesh))
+    ref = np.asarray(K.viterbi_decode_batch(fec.NASA_K7, coded))
+    assert (out == ref).all()
+    return "kernel decode under shard_map on the real chip"
+check("decode_sharded_batch", sharded_batch)
+
+def bytes_api():
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bytes(fec.NASA_K7, data))
+    got = np.asarray(K.viterbi_decode_batch_bytes(fec.NASA_K7, coded))
+    assert (got == data).all()
+    return "byte round-trip through the kernel"
+check("byte decode", bytes_api)
+
+# --- device-truth throughput via profiler ---
+def profile_all():
+    spec = fec.NASA_K7
+    B, L = 2048, 2048
+    rng = np.random.default_rng(9865)
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.03
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    dev = jax.device_put(jnp.asarray(coded))
+    rng9 = np.random.default_rng(1)
+    msgs9, coded9 = noisy(K9_561_753, 2048, 2040, 0.03)
+    dev9 = jax.device_put(jnp.asarray(coded9))
+    cbits = np.asarray(segments_to_bits(coded, spec.n))
+    rx = awgn(jax.random.PRNGKey(3), bpsk_modulate(np.asarray(segments_to_bits(np.asarray(fec.encode_bits(spec, msgs)[0]), spec.n))), 2.0, spec.rate)
+    q = jax.device_put(jnp.asarray(np.asarray(quantize_llrs(bpsk_llr(rx, 2.0, spec.rate))).reshape(B, -1, spec.n).astype(np.int8)))
+    st0 = K.stream_state_init(spec, B)
+    scoded = jax.device_put(jnp.asarray(np.random.default_rng(0).integers(0, 4, (B, 2016), np.uint8)))
+
+    fns = {
+        "decode_K7": lambda: K.viterbi_decode_batch(spec, dev),
+        "decode_K7_soft": lambda: K.viterbi_decode_batch_soft(spec, q),
+        "decode_K9": lambda: K.viterbi_decode_batch(K9_561_753, dev9),
+        "stream_W32": lambda: K.stream_decode_batch(spec, scoded, st0, 32)[0],
+    }
+    for f in fns.values():
+        jax.block_until_ready(f())
+    jax.profiler.start_trace("/tmp/fec_sweep_prof")
+    for name, f in fns.items():
+        for _ in range(4):
+            out = f()
+        jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    f = glob.glob("/tmp/fec_sweep_prof/**/*.trace.json.gz", recursive=True)[0]
+    ev = json.load(gzip.open(f))["traceEvents"]
+    dur = collections.Counter(); cnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e and e.get("name", "").startswith("jit_"):
+            dur[e["name"].split("(")[0]] += e["dur"]; cnt[e["name"].split("(")[0]] += 1
+    lines = []
+    for k_, v in dur.most_common(20):
+        per = v / max(cnt[k_], 1)
+        lines.append(f"{k_}: {per:.0f} us/call x{cnt[k_]}")
+    return "; ".join(lines)
+check("profiler throughput", profile_all)
+
+# --- full-scale BER acceptance (slow) ---
+def full_ber():
+    from convolutionalencdec_tpu.harness.ber import run_reference_ber_test
+    res = run_reference_ber_test(n_packets=30000)
+    assert all(r.passed for r in res), [r.relative_error for r in res]
+    return "; ".join(f"{r.snr_db:+.0f}dB {100*r.relative_error:.1f}%err PASS" for r in res)
+check("BER 10% gate (30k packets)", full_ber)
+
+print("\n=== SWEEP SUMMARY ===")
+for name, st, detail, dt in rows:
+    print(f"{st} | {name} | {detail} | {dt:.0f}s")
