@@ -353,10 +353,15 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
     L = message_bits if message_bits is not None else T - spec.S
     if spec.num_states >= 64:
         # Fused 3-stage kernels: the de Bruijn shuffle amortized to one
-        # transpose per 3 steps (see below).
+        # transpose per 3 steps (see below).  Short-enough packets run
+        # forward + traceback in a single pallas_call with the decisions
+        # VMEM-resident (no HBM round-trip).
         seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK_F, 1)
-        decs, _ = acs_forward_batch_fused(spec, seg_p, interpret)
-        packed = traceback_batch_fused(spec, decs, T, interpret)
+        if _use_single_pass(spec, seg_p.shape[1]):
+            packed = _block_decode_1p(spec, seg_p, T, False, interpret)
+        else:
+            decs, _ = acs_forward_batch_fused(spec, seg_p, interpret)
+            packed = traceback_batch_fused(spec, decs, T, interpret)
     else:
         seg_p = _pad_to(_pad_to(segments, B_TILE, 0), CHUNK, 1)
         decs = acs_forward_batch(spec, seg_p, interpret)
@@ -498,8 +503,11 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
     L = message_bits if message_bits is not None else T - spec.S
     if spec.num_states >= 64:
         q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK_F, 1)
-        decs, _ = acs_forward_batch_fused_soft(spec, q_p, interpret)
-        packed = traceback_batch_fused(spec, decs, T, interpret)
+        if _use_single_pass(spec, q_p.shape[1]):
+            packed = _block_decode_1p(spec, q_p, T, True, interpret)
+        else:
+            decs, _ = acs_forward_batch_fused_soft(spec, q_p, interpret)
+            packed = traceback_batch_fused(spec, decs, T, interpret)
     else:
         q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK, 1)
         decs = acs_forward_batch_soft(spec, q_p, interpret)
@@ -604,6 +612,142 @@ def _em_weight_matrix_soft(spec: CodeSpec) -> np.ndarray:
     return np.concatenate(rows, axis=0).astype(np.int8)
 
 
+def _fwd_chunk_body(spec: CodeSpec, soft, w_vals, seg_ref, m, dec_store):
+    """One CHUNK_F-step fused forward pass over in-VMEM values.
+
+    Shared by the standalone forward kernel and the single-pass block
+    kernel.  `m` is the (NS, B_TILE) natural-order metric value at chunk
+    start; `dec_store(g, acc8)` receives each 8-step group's packed
+    per-stage decision blocks (8 x (Q8, B_TILE) int32, cast to uint8 by
+    the caller).  Returns the metrics after the chunk (natural order —
+    CHUNK_F is a multiple of 3, so every chunk ends on a stage-2 step).
+    """
+    NS = spec.num_states
+    HALF = NS // 2
+    Q4 = NS // 4
+    Q8 = NS // 8
+    n = spec.n
+
+    if soft:
+        q32 = seg_ref[:].astype(jnp.int32)         # (n, CHUNK_F, B)
+        c1 = jnp.maximum(q32, 0)                   # cost if coded bit 1
+        c0 = jnp.maximum(-q32, 0)                  # cost if coded bit 0
+    else:
+        seg_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F, B)
+        r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
+        ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
+    nF = jnp.asarray(n, CDT)
+
+    def acs(first, second, em, emc, j):
+        """One half-butterfly batch: returns (ev, od, packed-dec pair).
+
+        first/second: low/high source metric blocks (same shape as em).
+        """
+        a0 = first + em
+        a1 = second + emc
+        b0 = first + emc
+        b1 = second + em
+        z = jnp.asarray(0, CDT)
+        w = jnp.asarray(1 << j, CDT)
+        gt_e = a0 > a1
+        gt_o = b0 > b1
+        ev = jnp.where(gt_e, a1, a0)   # shared compare: min + decision
+        od = jnp.where(gt_o, b1, b0)   # (tie keeps the low source)
+        de = jnp.where(gt_e, w, z)
+        do = jnp.where(gt_o, w, z)
+        return ev, od, de, do
+
+    # Metrics are carried as a LIST of row-blocks rather than one
+    # (NS, B) array: stage pairings are then pure slices/relabels, and
+    # no jnp.concatenate materializes copies inside the hot loop.  The
+    # only materializing relayout is the sC -> natural transpose, once
+    # per 3 steps.  Decision contributions accumulate into per-8-row
+    # blocks the same way.
+    mA = mB = None
+    for g in range(CHUNK_F // PACK):
+        # All three stages' edge metrics for this 8-step group in one
+        # int8 MXU matmul with int32 accumulation.  EM[s*HALF+b, j*B+c].
+        if soft:
+            rows = [c1[bit, g * PACK:(g + 1) * PACK]
+                    .reshape(1, PACK * B_TILE) for bit in range(n)]
+            rows += [c0[bit, g * PACK:(g + 1) * PACK]
+                     .reshape(1, PACK * B_TILE) for bit in range(n)]
+        else:
+            rows = [ones_row] + [
+                r_planes[bit][g * PACK:(g + 1) * PACK]
+                .reshape(1, PACK * B_TILE) for bit in range(n)]
+        Rg = jnp.concatenate(rows, axis=0).astype(jnp.int8)
+        EM = jax.lax.dot_general(
+            w_vals, Rg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)   # (3*HALF [+1], 8*B)
+
+        def em_for(stage, j):
+            em = EM[stage * HALF:(stage + 1) * HALF,
+                    j * B_TILE:(j + 1) * B_TILE]
+            if soft:
+                q_row = EM[3 * HALF:3 * HALF + 1,
+                           j * B_TILE:(j + 1) * B_TILE]
+                return em, q_row - em
+            return em, nF - em
+
+        acc = [jnp.zeros((Q8, B_TILE), CDT) for _ in range(8)]
+
+        def add_acc(rows, start, acc=acc):
+            nblk = rows.shape[0] // Q8
+            for b_ in range(nblk):
+                idx = start // Q8 + b_
+                acc[idx] = acc[idx] + rows[b_ * Q8:(b_ + 1) * Q8]
+
+        for j in range(PACK):
+            t_row = g * PACK + j
+            stage = t_row % 3
+            if stage == 0:
+                # A: pairs (p, p+HALF) in natural order.
+                em, emc = em_for(0, j)
+                ev, od, de, do = acs(m[:HALF], m[HALF:], em, emc, j)
+                mA = (ev, od)                               # sA layout
+                add_acc(de, 0)
+                add_acc(do, HALF)
+            elif stage == 1:
+                # B: pairs (r, r+Q4) inside each sA half.
+                em, emc = em_for(1, j)
+                ev, od = mA
+                e1, o1, d1e, d1o = acs(ev[:Q4], ev[Q4:],
+                                       em[:Q4], emc[:Q4], j)
+                e2, o2, d2e, d2o = acs(od[:Q4], od[Q4:],
+                                       em[Q4:], emc[Q4:], j)
+                mB = (e1, o1, e2, o2)                       # sB layout
+                add_acc(d1e, 0)
+                add_acc(d1o, Q4)
+                add_acc(d2e, 2 * Q4)
+                add_acc(d2o, 3 * Q4)
+            else:
+                # C: pairs (q, q+Q8) inside each sB block.
+                em, emc = em_for(2, j)
+                outs = []
+                for c in range(4):
+                    blk = mB[c]
+                    e, o, de, do = acs(blk[:Q8], blk[Q8:],
+                                       em[c * Q8:(c + 1) * Q8],
+                                       emc[c * Q8:(c + 1) * Q8], j)
+                    outs += [e, o]
+                    add_acc(de, 2 * c * Q8)
+                    add_acc(do, (2 * c + 1) * Q8)
+                # sC -> natural: state 8q + b sits at row b*Q8 + q.
+                m = jnp.stack(outs, axis=0).transpose(1, 0, 2) \
+                       .reshape(NS, B_TILE)
+        # Renormalize when the group ends on a stage-2 step (then
+        # `m` holds the live natural-order metrics; after stage-0/1
+        # endings the live state is mA/mB and m is stale).  Effective
+        # cadence: once per 24 steps — metric values stay < ~600,
+        # far inside int32 headroom.
+        if (g * PACK + PACK - 1) % 3 == 2:
+            mn = jnp.min(m, axis=0, keepdims=True)
+            m = m - mn
+        dec_store(g, acc)
+    return m
+
+
 def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
     NS = spec.num_states
     HALF = NS // 2
@@ -644,131 +788,99 @@ def _fwd_kernel_fused(spec: CodeSpec, nt: int, soft: bool = False):
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
                                  0, init_hi).astype(CDT)
 
-        if soft:
-            q32 = seg_ref[:].astype(jnp.int32)         # (n, CHUNK_F, B)
-            c1 = jnp.maximum(q32, 0)                   # cost if coded bit 1
-            c0 = jnp.maximum(-q32, 0)                  # cost if coded bit 0
-        else:
-            seg_all = seg_ref[:].astype(jnp.int32)     # (CHUNK_F, B)
-            r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
-            ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
-        nF = jnp.asarray(n, CDT)
-
-        def acs(first, second, em, emc, j):
-            """One half-butterfly batch: returns (ev, od, packed-dec pair).
-
-            first/second: low/high source metric blocks (same shape as em).
-            """
-            a0 = first + em
-            a1 = second + emc
-            b0 = first + emc
-            b1 = second + em
-            z = jnp.asarray(0, CDT)
-            w = jnp.asarray(1 << j, CDT)
-            gt_e = a0 > a1
-            gt_o = b0 > b1
-            ev = jnp.where(gt_e, a1, a0)   # shared compare: min + decision
-            od = jnp.where(gt_o, b1, b0)   # (tie keeps the low source)
-            de = jnp.where(gt_e, w, z)
-            do = jnp.where(gt_o, w, z)
-            return ev, od, de, do
-
-        # Metrics are carried as a LIST of row-blocks rather than one
-        # (NS, B) array: stage pairings are then pure slices/relabels, and
-        # no jnp.concatenate materializes copies inside the hot loop.  The
-        # only materializing relayout is the sC -> natural transpose, once
-        # per 3 steps.  Decision contributions accumulate into per-8-row
-        # blocks the same way.
-        m = m_ref[:]
-        mA = mB = None
-        for g in range(CHUNK_F // PACK):
-            # All three stages' edge metrics for this 8-step group in one
-            # bf16 MXU matmul with f32 accumulation (exact: all operands
-            # are small integers).  EM[s*HALF + b, j*B + c].
-            if soft:
-                rows = [c1[bit, g * PACK:(g + 1) * PACK]
-                        .reshape(1, PACK * B_TILE) for bit in range(n)]
-                rows += [c0[bit, g * PACK:(g + 1) * PACK]
-                         .reshape(1, PACK * B_TILE) for bit in range(n)]
-            else:
-                rows = [ones_row] + [
-                    r_planes[bit][g * PACK:(g + 1) * PACK]
-                    .reshape(1, PACK * B_TILE) for bit in range(n)]
-            Rg = jnp.concatenate(rows, axis=0).astype(jnp.int8)
-            EM = jax.lax.dot_general(
-                w_ref[:], Rg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)   # (3*HALF [+1], 8*B)
-
-            def em_for(stage, j):
-                em = EM[stage * HALF:(stage + 1) * HALF,
-                        j * B_TILE:(j + 1) * B_TILE]
-                if soft:
-                    q_row = EM[3 * HALF:3 * HALF + 1,
-                               j * B_TILE:(j + 1) * B_TILE]
-                    return em, q_row - em
-                return em, nF - em
-
-            acc = [jnp.zeros((Q8, B_TILE), CDT) for _ in range(8)]
-
-            def add_acc(rows, start, acc=acc):
-                nblk = rows.shape[0] // Q8
-                for b_ in range(nblk):
-                    idx = start // Q8 + b_
-                    acc[idx] = acc[idx] + rows[b_ * Q8:(b_ + 1) * Q8]
-
-            for j in range(PACK):
-                t_row = g * PACK + j
-                stage = t_row % 3
-                if stage == 0:
-                    # A: pairs (p, p+HALF) in natural order.
-                    em, emc = em_for(0, j)
-                    ev, od, de, do = acs(m[:HALF], m[HALF:], em, emc, j)
-                    mA = (ev, od)                               # sA layout
-                    add_acc(de, 0)
-                    add_acc(do, HALF)
-                elif stage == 1:
-                    # B: pairs (r, r+Q4) inside each sA half.
-                    em, emc = em_for(1, j)
-                    ev, od = mA
-                    e1, o1, d1e, d1o = acs(ev[:Q4], ev[Q4:],
-                                           em[:Q4], emc[:Q4], j)
-                    e2, o2, d2e, d2o = acs(od[:Q4], od[Q4:],
-                                           em[Q4:], emc[Q4:], j)
-                    mB = (e1, o1, e2, o2)                       # sB layout
-                    add_acc(d1e, 0)
-                    add_acc(d1o, Q4)
-                    add_acc(d2e, 2 * Q4)
-                    add_acc(d2o, 3 * Q4)
-                else:
-                    # C: pairs (q, q+Q8) inside each sB block.
-                    em, emc = em_for(2, j)
-                    outs = []
-                    for c in range(4):
-                        blk = mB[c]
-                        e, o, de, do = acs(blk[:Q8], blk[Q8:],
-                                           em[c * Q8:(c + 1) * Q8],
-                                           emc[c * Q8:(c + 1) * Q8], j)
-                        outs += [e, o]
-                        add_acc(de, 2 * c * Q8)
-                        add_acc(do, (2 * c + 1) * Q8)
-                    # sC -> natural: state 8q + b sits at row b*Q8 + q.
-                    m = jnp.stack(outs, axis=0).transpose(1, 0, 2) \
-                           .reshape(NS, B_TILE)
-            # Renormalize when the group ends on a stage-2 step (then
-            # `m` holds the live natural-order metrics; after stage-0/1
-            # endings the live state is mA/mB and m is stale).  Effective
-            # cadence: once per 24 steps — metric values stay < ~600
-            # (hard) / ~600 (soft, qmax=7), far inside f32 exactness.
-            if (g * PACK + PACK - 1) % 3 == 2:
-                mn = jnp.min(m, axis=0, keepdims=True)
-                m = m - mn
+        def dec_store(g, acc, Q8=Q8):
             for b_ in range(8):
                 dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = \
                     acc[b_].astype(jnp.uint8)
+
+        m = _fwd_chunk_body(spec, soft, w_ref[:], seg_ref, m_ref[:],
+                            dec_store)
         m_ref[:] = m
         fm_ref[:] = m
 
     return kernel
+
+
+def _tb_chunk_body(spec: CodeSpec, hb, get_dec, emit):
+    """One CHUNK_F-step fused backward traceback over in-VMEM values.
+
+    Shared by the standalone traceback kernel and the single-pass block
+    kernel.  `hb` is the one-hot walk state as 8 (Q8, B_TILE) natural-
+    order blocks at chunk entry; `get_dec(g)` returns the group's masked
+    (NS, B_TILE) int32 decisions; `emit(g, byte_row)` receives the
+    group's packed (1, B_TILE) output byte.  Returns the updated blocks.
+
+    Emitted bits: instead of reducing the odd-state mass to a scalar row
+    every step (4 cross-sublane reductions/step), the 2^j-weighted
+    odd-block one-hots accumulate across the group and are reduced ONCE
+    per 8 steps — the packed byte is linear in them.  Every stage layout
+    has exactly 4 odd-state Q8-blocks.
+
+    The survivor-select network uses independent masked selects for the
+    hi/lo output pair: the blocks are only 2 vregs, so keeping the six
+    ops dependency-free preserves VPU pipelining.
+    """
+    NS = spec.num_states
+    Q8 = NS // 8
+    zf = jnp.asarray(0, CDT)
+    for g in range(CHUNK_F // PACK - 1, -1, -1):
+        dec32 = get_dec(g)
+        db = [dec32[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
+        oacc = [jnp.zeros((Q8, B_TILE), CDT) for _ in range(4)]
+        for j in range(PACK - 1, -1, -1):
+            stage = (g * PACK + j) % 3
+            wi = 1 << j
+            wf = jnp.asarray(wi, CDT)
+            Mj = [(d_ & wi) > 0 for d_ in db]     # i1 decision masks
+
+            def merge(i0, i1, hb=None, Mj=Mj):
+                h0, h1 = hb[i0], hb[i1]
+                hi = (jnp.where(Mj[i0], h0, zf)
+                      + jnp.where(Mj[i1], h1, zf))
+                lo = (jnp.where(Mj[i0], zf, h0)
+                      + jnp.where(Mj[i1], zf, h1))
+                return lo, hi
+
+            if stage == 2:
+                # h natural -> sC (the forward transpose, inverted).
+                h_full = jnp.concatenate(hb, axis=0)
+                hsc = h_full.reshape(Q8, 8, B_TILE).transpose(1, 0, 2)
+                hb = [hsc[b_] for b_ in range(8)]
+                # Odd states = odd sC blocks.
+                for k_, b_ in enumerate((1, 3, 5, 7)):
+                    oacc[k_] = oacc[k_] + hb[b_] * wf
+                # Pairs (block 2c, 2c+1) -> sB block c = (lo_c, hi_c).
+                nb = []
+                for c in range(4):
+                    lo, hi = merge(2 * c, 2 * c + 1, hb)
+                    nb += [lo, hi]
+                hb = nb                                    # sB layout
+            elif stage == 1:
+                # Odd states (4r+c, c odd) = sB Q4-blocks 1 and 3.
+                for k_, b_ in enumerate((2, 3, 6, 7)):
+                    oacc[k_] = oacc[k_] + hb[b_] * wf
+                # sB halves -> sA halves; within each half, pairs are
+                # (row r, r + Q4) = (blocks 0..1, blocks 2..3).
+                nb = [None] * 8
+                for bi, base in enumerate((0, 4)):
+                    lo_a, hi_a = merge(base, base + 2, hb)
+                    lo_b, hi_b = merge(base + 1, base + 3, hb)
+                    nb[4 * bi:4 * bi + 4] = [lo_a, lo_b, hi_a, hi_b]
+                hb = nb                                    # sA layout
+            else:
+                # Odd states = top sA half = blocks 4..7.
+                for k_, b_ in enumerate((4, 5, 6, 7)):
+                    oacc[k_] = oacc[k_] + hb[b_] * wf
+                los, his = [], []
+                for b_ in range(4):
+                    lo, hi = merge(b_, b_ + 4, hb)
+                    los.append(lo)
+                    his.append(hi)
+                hb = los + his                             # natural
+        out_acc = jnp.sum(oacc[0] + oacc[1] + oacc[2] + oacc[3],
+                          axis=0, keepdims=True)
+        emit(g, out_acc)
+    return hb
 
 
 def _tb_kernel_fused(spec: CodeSpec, nt: int):
@@ -799,82 +911,17 @@ def _tb_kernel_fused(spec: CodeSpec, nt: int):
         def _():
             h_ref[:] = hinit_ref[:].astype(CDT)
 
-        # Emitted bits: instead of reducing the odd-state mass to a
-        # scalar row every step (4 cross-sublane reductions/step), the
-        # 2^j-weighted odd-block one-hots accumulate across the group and
-        # are reduced ONCE per 8 steps — the packed byte is linear in
-        # them.  Every stage layout has exactly 4 odd-state Q8-blocks.
-        #
-        # The survivor-select network uses the complement identity: with
-        # one-hot masses, hi = sum_s h_s * d_s and lo = (sum_s h_s) - hi,
-        # so each output pair costs 2 masked selects + 3 add/sub instead
-        # of 4 multiplies + 2 adds + 2 one-minus.
-        zf = jnp.asarray(0, CDT)
         h = h_ref[:]
         hb = [h[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
-        for g in range(CHUNK_F // PACK - 1, -1, -1):
+
+        def get_dec(g):
             gm = gmask_ref[gbase + g, 0]
-            dec32 = dec_ref[g].astype(jnp.int32)
-            db = [dec32[b_ * Q8:(b_ + 1) * Q8] & gm for b_ in range(8)]
-            oacc = [jnp.zeros((Q8, B_TILE), CDT) for _ in range(4)]
-            for j in range(PACK - 1, -1, -1):
-                stage = (g * PACK + j) % 3
-                wi = 1 << j
-                wf = jnp.asarray(wi, CDT)
-                Mj = [(d_ & wi) > 0 for d_ in db]     # i1 decision masks
+            return dec_ref[g].astype(jnp.int32) & gm
 
-                def merge(i0, i1, hb=None, Mj=Mj):
-                    """Select-network output pair for sources (i0, i1).
-
-                    hi/lo use independent masked selects (not lo = sum -
-                    hi): the blocks are only 2 vregs, so keeping the six
-                    ops dependency-free preserves VPU pipelining."""
-                    h0, h1 = hb[i0], hb[i1]
-                    hi = (jnp.where(Mj[i0], h0, zf)
-                          + jnp.where(Mj[i1], h1, zf))
-                    lo = (jnp.where(Mj[i0], zf, h0)
-                          + jnp.where(Mj[i1], zf, h1))
-                    return lo, hi
-
-                if stage == 2:
-                    # h natural -> sC (the forward transpose, inverted).
-                    h_full = jnp.concatenate(hb, axis=0)
-                    hsc = h_full.reshape(Q8, 8, B_TILE).transpose(1, 0, 2)
-                    hb = [hsc[b_] for b_ in range(8)]
-                    # Odd states = odd sC blocks.
-                    for k_, b_ in enumerate((1, 3, 5, 7)):
-                        oacc[k_] = oacc[k_] + hb[b_] * wf
-                    # Pairs (block 2c, 2c+1) -> sB block c = (lo_c, hi_c).
-                    nb = []
-                    for c in range(4):
-                        lo, hi = merge(2 * c, 2 * c + 1, hb)
-                        nb += [lo, hi]
-                    hb = nb                                    # sB layout
-                elif stage == 1:
-                    # Odd states (4r+c, c odd) = sB Q4-blocks 1 and 3.
-                    for k_, b_ in enumerate((2, 3, 6, 7)):
-                        oacc[k_] = oacc[k_] + hb[b_] * wf
-                    # sB halves -> sA halves; within each half, pairs are
-                    # (row r, r + Q4) = (blocks 0..1, blocks 2..3).
-                    nb = [None] * 8
-                    for bi, base in enumerate((0, 4)):
-                        lo_a, hi_a = merge(base, base + 2, hb)
-                        lo_b, hi_b = merge(base + 1, base + 3, hb)
-                        nb[4 * bi:4 * bi + 4] = [lo_a, lo_b, hi_a, hi_b]
-                    hb = nb                                    # sA layout
-                else:
-                    # Odd states = top sA half = blocks 4..7.
-                    for k_, b_ in enumerate((4, 5, 6, 7)):
-                        oacc[k_] = oacc[k_] + hb[b_] * wf
-                    los, his = [], []
-                    for b_ in range(4):
-                        lo, hi = merge(b_, b_ + 4, hb)
-                        los.append(lo)
-                        his.append(hi)
-                    hb = los + his                             # natural
-            out_acc = jnp.sum(oacc[0] + oacc[1] + oacc[2] + oacc[3],
-                              axis=0, keepdims=True)
+        def emit(g, out_acc):
             out_ref[g, 0, :] = out_acc.astype(jnp.uint8).reshape(B_TILE)
+
+        hb = _tb_chunk_body(spec, hb, get_dec, emit)
         for b_ in range(8):
             h_ref[b_ * Q8:(b_ + 1) * Q8] = hb[b_]
 
@@ -1640,3 +1687,130 @@ def viterbi_decode_batch_generic(spec: CodeSpec, segments,
             & 1).astype(jnp.uint8)
     bits = bits.reshape(-1, syms.shape[-1])                    # (Tp*k, Bp)
     return bits[:L, :B].T
+
+
+# ---------------------------------------------------------------------------
+# Single-pass block decode: forward + traceback in ONE pallas_call.
+#
+# The two-pass block decode round-trips the packed decisions through HBM
+# (33 MB each way at the bench shape — 17.3 bytes per decoded bit,
+# utils.telemetry.kernel_traffic).  Here the grid gains a phase axis
+# (nb, 2, nt): phase 0 runs the forward chunks, phase 1 walks them back,
+# and the decisions live in a VMEM scratch the whole time — no HBM
+# round-trip and one dispatch instead of two.  Fits VMEM for NS=64 up to
+# T ~ 4k steps; the wrapper falls back to the two-pass kernels beyond.
+# ---------------------------------------------------------------------------
+
+def _block_kernel_fused_1p(spec: CodeSpec, nt: int, soft: bool = False):
+    NS = spec.num_states
+    Q8 = NS // 8
+    GPC = CHUNK_F // PACK
+    init_hi = init_metric_value(spec)
+
+    def kernel(gmask_ref, w_ref, seg_ref, out_ref, m_ref, h_ref, dec_ref):
+        # gmask_ref: (nt*GPC, 1) int32 SMEM — per-group byte masks (see
+        #            traceback_batch_fused_masked)
+        # seg_ref: hard (CHUNK_F, B) uint8; soft (n, CHUNK_F, B) int8
+        # out_ref: (GPC, 1, B) uint8 packed decoded bits (per tb chunk)
+        # m_ref/h_ref: (NS, B) int32 scratch (metrics / one-hot walk)
+        # dec_ref: (nt*GPC, NS, B) uint8 scratch — ALL decisions, VMEM-
+        #          resident across both phases
+        p = pl.program_id(1)
+        t = pl.program_id(2)
+
+        @pl.when(jnp.logical_and(p == 0, t == 0))
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi).astype(CDT)
+
+        @pl.when(jnp.logical_and(p == 1, t == 0))
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
+            h_ref[:] = jnp.where(s_idx == 0, 1, 0).astype(CDT)
+
+        @pl.when(p == 0)
+        def _fwd():
+            def dec_store(g, acc):
+                for b_ in range(8):
+                    dec_ref[t * GPC + g, b_ * Q8:(b_ + 1) * Q8, :] = \
+                        acc[b_].astype(jnp.uint8)
+
+            m_ref[:] = _fwd_chunk_body(spec, soft, w_ref[:], seg_ref,
+                                       m_ref[:], dec_store)
+
+        @pl.when(p == 1)
+        def _tb():
+            gbase = (nt - 1 - t) * GPC
+            h = h_ref[:]
+            hb = [h[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
+
+            def get_dec(g):
+                gm = gmask_ref[gbase + g, 0]
+                return dec_ref[gbase + g].astype(jnp.int32) & gm
+
+            def emit(g, out_acc):
+                out_ref[g, 0, :] = out_acc.astype(jnp.uint8).reshape(B_TILE)
+
+            hb = _tb_chunk_body(spec, hb, get_dec, emit)
+            for b_ in range(8):
+                h_ref[b_ * Q8:(b_ + 1) * Q8] = hb[b_]
+
+    return kernel
+
+
+def _block_decode_1p(spec: CodeSpec, segments, t_actual: int,
+                     soft: bool, interpret: bool):
+    """Run the single-pass kernel.  segments pre-padded (hard [B, T] /
+    soft [B, T, n]); returns packed bits uint8 [T//PACK, B]."""
+    NS = spec.num_states
+    n = spec.n
+    if soft:
+        B, T, _ = segments.shape
+        seg_in = segments.transpose(2, 1, 0)              # (n, T, B)
+        seg_spec = pl.BlockSpec((n, CHUNK_F, B_TILE),
+                                lambda b, p, t: (0, t, b),
+                                memory_space=pltpu.VMEM)
+        W = jnp.asarray(_em_weight_matrix_soft(spec))
+    else:
+        B, T = segments.shape
+        seg_in = segments.T
+        seg_spec = pl.BlockSpec((CHUNK_F, B_TILE),
+                                lambda b, p, t: (t, b),
+                                memory_space=pltpu.VMEM)
+        W = jnp.asarray(_em_weight_matrix(spec))
+    nt = T // CHUNK_F
+    nb = B // B_TILE
+    TG = T // PACK
+    gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
+    out = pl.pallas_call(
+        _block_kernel_fused_1p(spec, nt, soft),
+        grid=(nb, 2, nt),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda b, p, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(W.shape, lambda b, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            seg_spec,
+        ],
+        out_specs=pl.BlockSpec((CHUNK_F // PACK, 1, B_TILE),
+                               lambda b, p, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, 1, B), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT),
+                        pltpu.VMEM((NS, B_TILE), CDT),
+                        pltpu.VMEM((TG, NS, B_TILE), jnp.uint8)],
+        interpret=interpret,
+    )(gmask, W, seg_in)
+    return out[:, 0, :]
+
+
+#: Max VMEM bytes for the single-pass decision scratch; beyond this the
+#: block decode falls back to the two-pass kernels.
+SINGLE_PASS_DEC_LIMIT = 8 * 1024 * 1024
+
+
+def _use_single_pass(spec: CodeSpec, T_padded: int) -> bool:
+    return (spec.num_states // 8 >= 8
+            and (T_padded // PACK) * spec.num_states * B_TILE
+            <= SINGLE_PASS_DEC_LIMIT)
