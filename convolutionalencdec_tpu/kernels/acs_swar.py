@@ -1,0 +1,368 @@
+"""SWAR butterfly Viterbi kernels: 4 channels per int32 lane.
+
+The int32-only TPU vector ALU (Mosaic rejects i8/i16 math) caps the
+plain formulation at ~1 channel per lane.  These kernels pack FOUR
+channels into one int32 lane as 8-bit fields and do the whole
+add-compare-select with full-rate field-parallel arithmetic:
+
+- adds/subs act per field as long as no field crosses 255 (renorm keeps
+  path metrics < ~116, viterbiDecoderButterflyk1.c:159-183 is the same
+  argument for the reference's uint8 metrics);
+- the compare uses the guard-bit trick: t = a0 + 0x7F - a1 per field
+  sets bit 7 iff a0 > a1 (exactly the scan decoder's `a0 > a1` with
+  ties keeping the low source);
+- the select is a bitwise mux ev = a0 ^ ((a0 ^ a1) & (ge * 0xFF)) —
+  measured full-rate on the VPU, unlike cmp+select pairs which run at
+  half rate (scripts/roofline.py);
+- edge metrics are pure bitwise: em = sum_b (P_b ^ G_b) where P_b is
+  the packed received bit-plane and G_b a per-row 0/unit mask of the
+  branch bit (the Hamming XOR of viterbiDecoder.c:277-281, field-
+  parallel).
+
+Layout mirrors the fused 3-stage kernels in acs_pallas.py (states on
+sublanes, the sA/sB/sC stage relabeling with one 8x8 sublane transpose
+per 3 steps), but a tile is 512 channels in 128 lanes.  Decisions keep
+the reference's 1-bit-per-state-per-step packing
+(viterbiDecoder.h:139-145): one byte field per channel per 8-step
+group, bit j = step j's survivor choice.
+
+Restricted to hard-decision, NUM_STATES == 64, n <= 4 codes (the
+headline NASA K=7 class); other configurations use acs_pallas.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import CodeSpec
+from .acs_pallas import (CHUNK_F, PACK, _em_weight_matrix, _group_masks,
+                         init_metric_value)
+
+UNIT = 0x01010101          # one LSB per byte field
+B127 = 0x7F7F7F7F          # guard-bit bias: +127 per field
+LANES = 128
+SWAR_TILE = 4 * LANES      # channels per kernel tile
+GPC = CHUNK_F // PACK
+
+
+def swar_supported(spec: CodeSpec) -> bool:
+    return (spec.k == 1 and spec.num_states == 64 and spec.n <= 4
+            and spec.has_poly_symmetry)
+
+
+def _branch_masks(spec: CodeSpec) -> np.ndarray:
+    """(3*n, HALF, 1) int32: row stage*n + b is 0 where the stage row's
+    branch bit b is 0, UNIT where it is 1 (so P_b ^ G_b = p XOR g per
+    field).  Derived from the same MXU weight matrix the int32 kernels
+    use — em_row = const + sum coef_b * p_b with coef_b = +/-1 and
+    g_b = (coef_b == -1)."""
+    W = np.asarray(_em_weight_matrix(spec), np.int32)  # (3*HALF, n+1)
+    HALF = spec.num_states // 2
+    rows = []
+    for stage in range(3):
+        blk = W[stage * HALF:(stage + 1) * HALF]
+        for b in range(spec.n):
+            g = (blk[:, 1 + b:2 + b] < 0).astype(np.int64)
+            rows.append((g * UNIT).astype(np.int32))
+    return np.stack(rows, axis=0)
+
+
+def _acs_swar(first, second, em, emc, j):
+    """Field-parallel butterfly ACS: two destinations per source pair.
+
+    Exactly viterbi_forward_butterfly's compare (ties keep the low
+    source); decisions returned as bit-j contributions per field."""
+    a0 = first + em
+    a1 = second + emc
+    ge = ((a0 + B127 - a1) >> 7) & UNIT       # a0 > a1 per field
+    ev = a0 ^ ((a0 ^ a1) & (ge * 0xFF))
+    b0 = first + emc
+    b1 = second + em
+    go = ((b0 + B127 - b1) >> 7) & UNIT
+    od = b0 ^ ((b0 ^ b1) & (go * 0xFF))
+    return ev, od, ge << j, go << j
+
+
+def _swar_min(a, b):
+    """Per-field minimum of non-negative fields <= 127."""
+    ge = ((a + B127 - b) >> 7) & UNIT
+    return a ^ ((a ^ b) & (ge * 0xFF))
+
+
+def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store):
+    """One CHUNK_F-step SWAR forward pass (hard decision).
+
+    `g_ref`: (3*n, HALF, 1) int32 branch-bit masks (_branch_masks).
+    `m` is the packed (NS, 128) natural-order metric value at chunk
+    start; `dec_store(g, acc8)` receives the group's 8 packed decision
+    blocks ((Q8, 128) int32, one byte field per channel).  Structure is
+    _fwd_chunk_body's fused 3-stage pipeline, field-parallel.
+    """
+    NS = spec.num_states
+    HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
+    n = spec.n
+    seg = seg_ref[:]                          # (CHUNK_F, 128) int32 packed
+    G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
+
+    mA = mB = None
+    for g in range(GPC):
+        acc = [jnp.zeros((Q8, LANES), jnp.int32) for _ in range(8)]
+
+        def add_acc(rows, start, acc=acc):
+            for b_ in range(rows.shape[0] // Q8):
+                idx = start // Q8 + b_
+                acc[idx] = acc[idx] + rows[b_ * Q8:(b_ + 1) * Q8]
+
+        for j in range(PACK):
+            t_row = g * PACK + j
+            stage = t_row % 3
+            row = seg[t_row:t_row + 1, :]     # (1, 128)
+            planes = [(row >> b) & UNIT for b in range(n)]
+            em = planes[0] ^ G[stage][0]
+            for b in range(1, n):
+                em = em + (planes[b] ^ G[stage][b])
+            emc = (n * UNIT) - em
+            if stage == 0:
+                ev, od, de, do = _acs_swar(m[:HALF], m[HALF:],
+                                           em, emc, j)
+                mA = (ev, od)
+                add_acc(de, 0)
+                add_acc(do, HALF)
+            elif stage == 1:
+                ev, od = mA
+                e1, o1, d1e, d1o = _acs_swar(ev[:Q4], ev[Q4:],
+                                             em[:Q4], emc[:Q4], j)
+                e2, o2, d2e, d2o = _acs_swar(od[:Q4], od[Q4:],
+                                             em[Q4:], emc[Q4:], j)
+                mB = (e1, o1, e2, o2)
+                add_acc(d1e, 0)
+                add_acc(d1o, Q4)
+                add_acc(d2e, 2 * Q4)
+                add_acc(d2o, 3 * Q4)
+            else:
+                outs = []
+                for c in range(4):
+                    blk = mB[c]
+                    e, o, de, do = _acs_swar(blk[:Q8], blk[Q8:],
+                                             em[c * Q8:(c + 1) * Q8],
+                                             emc[c * Q8:(c + 1) * Q8], j)
+                    outs += [e, o]
+                    add_acc(de, 2 * c * Q8)
+                    add_acc(do, (2 * c + 1) * Q8)
+                m = jnp.stack(outs, axis=0).transpose(1, 0, 2) \
+                       .reshape(NS, LANES)
+        # Renorm on groups that end on a stage-2 step (every 24 steps):
+        # worst-case growth 48*n/24... fields stay <= ~116 < 127, the
+        # guard-bit compare's validity bound.
+        if (g * PACK + PACK - 1) % 3 == 2:
+            mn = m[:Q8]
+            for b_ in range(1, 8):
+                mn = _swar_min(mn, m[b_ * Q8:(b_ + 1) * Q8])
+            mn = _swar_min(mn[:4], mn[4:])
+            mn = _swar_min(mn[:2], mn[2:])
+            mn = _swar_min(mn[:1], mn[1:])
+            m = m - mn                         # broadcast (1,128)
+        dec_store(g, acc)
+    return m
+
+
+def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit):
+    """One CHUNK_F-step SWAR backward traceback.
+
+    `hb`: 8 (Q8, 128) packed one-hot blocks (fields 0/1), natural order
+    at chunk entry.  Mirrors _tb_chunk_body's select network with
+    field-parallel bitwise merges; per-group deferred bit emission."""
+    NS = spec.num_states
+    Q8 = NS // 8
+    for g in range(GPC - 1, -1, -1):
+        dec32 = get_dec(g)
+        db = [dec32[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
+        oacc = [jnp.zeros((Q8, LANES), jnp.int32) for _ in range(4)]
+        for j in range(PACK - 1, -1, -1):
+            stage = (g * PACK + j) % 3
+            wf = 1 << j
+            gm = [((d_ >> j) & UNIT) * 0xFF for d_ in db]
+
+            def merge(i0, i1, hb=None, gm=gm):
+                h0, h1 = hb[i0], hb[i1]
+                hi = (h0 & gm[i0]) + (h1 & gm[i1])
+                lo = (h0 + h1) - hi
+                return lo, hi
+
+            if stage == 2:
+                h_full = jnp.concatenate(hb, axis=0)
+                hsc = h_full.reshape(Q8, 8, LANES).transpose(1, 0, 2)
+                hb = [hsc[b_] for b_ in range(8)]
+                for k_, b_ in enumerate((1, 3, 5, 7)):
+                    oacc[k_] = oacc[k_] + hb[b_] * wf
+                nb = []
+                for c in range(4):
+                    lo, hi = merge(2 * c, 2 * c + 1, hb)
+                    nb += [lo, hi]
+                hb = nb
+            elif stage == 1:
+                for k_, b_ in enumerate((2, 3, 6, 7)):
+                    oacc[k_] = oacc[k_] + hb[b_] * wf
+                nb = [None] * 8
+                for bi, base in enumerate((0, 4)):
+                    lo_a, hi_a = merge(base, base + 2, hb)
+                    lo_b, hi_b = merge(base + 1, base + 3, hb)
+                    nb[4 * bi:4 * bi + 4] = [lo_a, lo_b, hi_a, hi_b]
+                hb = nb
+            else:
+                for k_, b_ in enumerate((4, 5, 6, 7)):
+                    oacc[k_] = oacc[k_] + hb[b_] * wf
+                los, his = [], []
+                for b_ in range(4):
+                    lo, hi = merge(b_, b_ + 4, hb)
+                    los.append(lo)
+                    his.append(hi)
+                hb = los + his
+        out_acc = jnp.sum(oacc[0] + oacc[1] + oacc[2] + oacc[3],
+                          axis=0, keepdims=True)
+        emit(g, out_acc)
+    return hb
+
+
+def _fwd_kernel_swar(spec: CodeSpec):
+    NS = spec.num_states
+    Q8 = NS // 8
+    init_hi = min(init_metric_value(spec), 100)
+
+    def kernel(g_ref, seg_ref, dec_ref, m_ref):
+        t_chunk = pl.program_id(1)
+
+        @pl.when(t_chunk == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi * UNIT).astype(jnp.int32)
+
+        def dec_store(g, acc):
+            for b_ in range(8):
+                dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = acc[b_]
+
+        m_ref[:] = _fwd_chunk_body_swar(spec, g_ref, seg_ref,
+                                        m_ref[:], dec_store)
+
+    return kernel
+
+
+def _tb_kernel_swar(spec: CodeSpec):
+    NS = spec.num_states
+    Q8 = NS // 8
+
+    def kernel(gmask_ref, dec_ref, out_ref, h_ref):
+        i = pl.program_id(1)
+        nt_total = pl.num_programs(1)
+        gbase = (nt_total - 1 - i) * GPC
+
+        @pl.when(i == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
+            h_ref[:] = jnp.where(s_idx == 0, UNIT, 0).astype(jnp.int32)
+
+        h = h_ref[:]
+        hb = [h[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
+
+        def get_dec(g):
+            gm = gmask_ref[gbase + g, 0]
+            return dec_ref[g] & (gm * UNIT)
+
+        def emit(g, out_acc):
+            out_ref[g, 0, :] = out_acc.reshape(LANES)
+
+        hb = _tb_chunk_body_swar(spec, hb, get_dec, emit)
+        for b_ in range(8):
+            h_ref[b_ * Q8:(b_ + 1) * Q8] = hb[b_]
+
+    return kernel
+
+
+def _pack_channels(segments):
+    """[B, T] uint8 -> [T, B//4] int32, channel c = tile*512 + f*128 + l
+    at lane (tile*128 + l) byte field f."""
+    B, T = segments.shape
+    s32 = segments.reshape(B // SWAR_TILE, 4, LANES, T).astype(jnp.int32)
+    packed = (s32[:, 0] | (s32[:, 1] << 8)
+              | (s32[:, 2] << 16) | (s32[:, 3] << 24))
+    return packed.transpose(2, 0, 1).reshape(T, (B // SWAR_TILE) * LANES)
+
+
+def _unpack_out(out32, B):
+    """[TG, 1, B//4] int32 -> [TG, B] uint8 packed decoded bits."""
+    TG = out32.shape[0]
+    o = out32.reshape(TG, B // SWAR_TILE, LANES)
+    fields = [(o >> (8 * f)) & 0xFF for f in range(4)]
+    o = jnp.stack(fields, axis=2)             # (TG, tiles, 4, 128)
+    return o.reshape(TG, B).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
+                           interpret: bool = False):
+    """seg_packed: [T, B4] int32 (T % CHUNK_F == 0, B4 % 128 == 0).
+    Returns packed decisions [T//PACK, NS, B4] int32."""
+    NS = spec.num_states
+    T, B4 = seg_packed.shape
+    nt = T // CHUNK_F
+    nb = B4 // LANES
+    G = jnp.asarray(_branch_masks(spec))
+    return pl.pallas_call(
+        _fwd_kernel_swar(spec),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK_F, LANES), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * GPC, NS, B4), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(G, seg_packed)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def traceback_batch_swar(spec: CodeSpec, decs, t_actual: int,
+                         interpret: bool = False):
+    """decs: [TG, NS, B4] int32 packed decisions.  Returns packed
+    decoded bits [TG, 1, B4] int32 (byte fields per channel)."""
+    NS = spec.num_states
+    TG, _, B4 = decs.shape
+    nt = TG // GPC
+    nb = B4 // LANES
+    gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
+    return pl.pallas_call(
+        _tb_kernel_swar(spec),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GPC, NS, LANES),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPC, 1, LANES),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, 1, B4), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(gmask, decs)
+
+
+def swar_decode_packed(spec: CodeSpec, segments, t_actual: int,
+                       interpret: bool = False):
+    """[B, T] uint8 segments (pre-padded to SWAR_TILE x CHUNK_F) ->
+    packed decoded bits [T//PACK, B] uint8."""
+    B, T = segments.shape
+    seg_packed = _pack_channels(segments)
+    decs = acs_forward_batch_swar(spec, seg_packed, interpret)
+    out32 = traceback_batch_swar(spec, decs, t_actual, interpret)
+    return _unpack_out(out32, B)
