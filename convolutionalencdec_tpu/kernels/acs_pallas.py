@@ -351,10 +351,10 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
     segments = jnp.asarray(segments, jnp.uint8)
     B, T = segments.shape
     L = message_bits if message_bits is not None else T - spec.S
-    if spec.num_states == 64 and spec.n <= 4:
+    from .acs_swar import SWAR_TILE, swar_decode_packed, swar_supported
+    if swar_supported(spec):
         # SWAR kernels: 4 channels per int32 lane as 8-bit fields —
         # field-parallel ACS at full VPU rate (kernels/acs_swar.py).
-        from .acs_swar import SWAR_TILE, swar_decode_packed
         seg_p = _pad_to(_pad_to(segments, SWAR_TILE, 0), CHUNK_F, 1)
         packed = swar_decode_packed(spec, seg_p, T, interpret)
     elif spec.num_states >= 64:

@@ -26,8 +26,8 @@ the reference's 1-bit-per-state-per-step packing
 (viterbiDecoder.h:139-145): one byte field per channel per 8-step
 group, bit j = step j's survivor choice.
 
-Restricted to hard-decision, NUM_STATES == 64, n <= 4 codes (the
-headline NASA K=7 class); other configurations use acs_pallas.
+Restricted to hard-decision, NUM_STATES >= 64, n <= 4 codes (the
+headline NASA K=7 class plus K=9); other configurations use acs_pallas.
 """
 from __future__ import annotations
 
@@ -51,8 +51,12 @@ GPC = CHUNK_F // PACK
 
 
 def swar_supported(spec: CodeSpec) -> bool:
-    return (spec.k == 1 and spec.num_states == 64 and spec.n <= 4
-            and spec.has_poly_symmetry)
+    """SWAR needs the fused 3-stage layout (NS >= 64), hard n <= 4, and
+    metric fields that stay under the 127 guard-bit bound: worst case is
+    init_hi + 24 steps of growth (+ the edge metric) between renorms."""
+    return (spec.k == 1 and spec.num_states >= 64 and spec.n <= 4
+            and spec.has_poly_symmetry
+            and init_metric_value(spec) + 25 * spec.n <= 127)
 
 
 def _branch_masks(spec: CodeSpec) -> np.ndarray:
@@ -163,9 +167,9 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store):
             mn = m[:Q8]
             for b_ in range(1, 8):
                 mn = _swar_min(mn, m[b_ * Q8:(b_ + 1) * Q8])
-            mn = _swar_min(mn[:4], mn[4:])
-            mn = _swar_min(mn[:2], mn[2:])
-            mn = _swar_min(mn[:1], mn[1:])
+            while mn.shape[0] > 1:
+                h_ = mn.shape[0] // 2
+                mn = _swar_min(mn[:h_], mn[h_:])
             m = m - mn                         # broadcast (1,128)
         dec_store(g, acc)
     return m

@@ -45,13 +45,14 @@ def init_metric_value(spec: CodeSpec) -> int:
     """Initial path metric for states other than starting_state.
 
     The reference seeds them with NUM_STATES + 1 ("forceNot",
-    viterbiDecoder.c:246-249); for >= 200 states we clamp so the value fits
-    the Pallas kernel's uint8 metric lanes (any value comfortably above the
-    max per-step branch metric is equivalent — only differences matter).
-    Scan decoders and kernels share this value so their decisions stay
-    bit-identical.
+    viterbiDecoder.c:246-249); for large state counts we clamp so the value
+    fits the SWAR kernels' 8-bit metric fields (any value comfortably above
+    the worst real warm-up metric n*S is equivalent — only differences
+    matter, and a forceNot state only needs to lose every compare until it
+    is first reached, within S steps).  Scan decoders and kernels share
+    this value so their decisions stay bit-identical.
     """
-    return min(spec.num_states + 1, 200)
+    return min(spec.num_states + 1, max(64, spec.n * spec.S + 2))
 
 
 def hard_step_metrics(spec: CodeSpec, segments) -> jnp.ndarray:
