@@ -507,7 +507,14 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
     qllrs = jnp.asarray(qllrs, jnp.int8)
     B, T, n = qllrs.shape
     L = message_bits if message_bits is not None else T - spec.S
-    if spec.num_states >= 64:
+    from .acs_swar import (SWAR_TILE16, swar_decode_packed_soft,
+                           swar_supported)
+    if swar_supported(spec):
+        # SWAR-16 kernels: 2 channels per int32 lane (16-bit fields hold
+        # the LLR-cost metric range; kernels/acs_swar.py).
+        q_p = _pad_to(_pad_to(qllrs, SWAR_TILE16, 0), CHUNK_F, 1)
+        packed = swar_decode_packed_soft(spec, q_p, T, interpret)
+    elif spec.num_states >= 64:
         q_p = _pad_to(_pad_to(qllrs, B_TILE, 0), CHUNK_F, 1)
         if _use_single_pass(spec, q_p.shape[1]):
             packed = _block_decode_1p(spec, q_p, T, True, interpret)

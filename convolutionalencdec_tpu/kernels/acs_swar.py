@@ -45,8 +45,11 @@ from .acs_pallas import (CHUNK_F, PACK, _em_weight_matrix, _group_masks,
 
 UNIT = 0x01010101          # one LSB per byte field
 B127 = 0x7F7F7F7F          # guard-bit bias: +127 per field
+UNIT16 = 0x00010001        # one LSB per 16-bit field (soft path)
+B16 = 0x7FFF7FFF           # guard-bit bias: +32767 per 16-bit field
 LANES = 128
-SWAR_TILE = 4 * LANES      # channels per kernel tile
+SWAR_TILE = 4 * LANES      # channels per kernel tile (hard, 8-bit fields)
+SWAR_TILE16 = 2 * LANES    # channels per kernel tile (soft, 16-bit fields)
 GPC = CHUNK_F // PACK
 
 
@@ -59,43 +62,46 @@ def swar_supported(spec: CodeSpec) -> bool:
             and init_metric_value(spec) + 25 * spec.n <= 127)
 
 
-def _branch_masks(spec: CodeSpec) -> np.ndarray:
+def _branch_masks(spec: CodeSpec, full_word: bool = False) -> np.ndarray:
     """(3*n, HALF, 1) int32: row stage*n + b is 0 where the stage row's
-    branch bit b is 0, UNIT where it is 1 (so P_b ^ G_b = p XOR g per
-    field).  Derived from the same MXU weight matrix the int32 kernels
-    use — em_row = const + sum coef_b * p_b with coef_b = +/-1 and
-    g_b = (coef_b == -1)."""
+    branch bit b is 0, else UNIT (hard: P_b ^ G_b = p XOR g per field)
+    or -1 (soft: full-word bitwise-mux select mask — both fields of a
+    lane take the same per-row branch bit).  Derived from the same MXU
+    weight matrix the int32 kernels use — em_row = const +
+    sum coef_b * p_b with coef_b = +/-1 and g_b = (coef_b == -1)."""
     W = np.asarray(_em_weight_matrix(spec), np.int32)  # (3*HALF, n+1)
     HALF = spec.num_states // 2
+    one = -1 if full_word else UNIT
     rows = []
     for stage in range(3):
         blk = W[stage * HALF:(stage + 1) * HALF]
         for b in range(spec.n):
             g = (blk[:, 1 + b:2 + b] < 0).astype(np.int64)
-            rows.append((g * UNIT).astype(np.int32))
+            rows.append((g * one).astype(np.int32))
     return np.stack(rows, axis=0)
 
 
-def _acs_swar(first, second, em, emc, j):
+def _acs_swar(first, second, em, emc, j, unit=UNIT, bias=B127, sh=7,
+              selmul=0xFF):
     """Field-parallel butterfly ACS: two destinations per source pair.
 
     Exactly viterbi_forward_butterfly's compare (ties keep the low
     source); decisions returned as bit-j contributions per field."""
     a0 = first + em
     a1 = second + emc
-    ge = ((a0 + B127 - a1) >> 7) & UNIT       # a0 > a1 per field
-    ev = a0 ^ ((a0 ^ a1) & (ge * 0xFF))
+    ge = ((a0 + bias - a1) >> sh) & unit      # a0 > a1 per field
+    ev = a0 ^ ((a0 ^ a1) & (ge * selmul))
     b0 = first + emc
     b1 = second + em
-    go = ((b0 + B127 - b1) >> 7) & UNIT
-    od = b0 ^ ((b0 ^ b1) & (go * 0xFF))
+    go = ((b0 + bias - b1) >> sh) & unit
+    od = b0 ^ ((b0 ^ b1) & (go * selmul))
     return ev, od, ge << j, go << j
 
 
-def _swar_min(a, b):
-    """Per-field minimum of non-negative fields <= 127."""
-    ge = ((a + B127 - b) >> 7) & UNIT
-    return a ^ ((a ^ b) & (ge * 0xFF))
+def _swar_min(a, b, unit=UNIT, bias=B127, sh=7, selmul=0xFF):
+    """Per-field minimum of non-negative fields under the guard bound."""
+    ge = ((a + bias - b) >> sh) & unit
+    return a ^ ((a ^ b) & (ge * selmul))
 
 
 def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store):
@@ -175,7 +181,101 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store):
     return m
 
 
-def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit):
+def _fwd_chunk_body_swar_soft(spec: CodeSpec, g_ref, cost_ref, m,
+                              dec_store):
+    """One CHUNK_F-step SWAR-16 soft forward pass (2 channels/lane).
+
+    `g_ref`: (3*n, HALF, 1) int32 branch masks, 0 or -1 (full-word —
+    both 16-bit fields of a lane take the same per-row branch bit).
+    `cost_ref`: (n, CHUNK_F, 128) int32 — plane b carries the BIASED
+    quantized LLR q_b + 128 of two channels per lane as 16-bit fields
+    (packing raw LLRs keeps the XLA prologue to one cheap pass; the
+    relu costs are recovered field-parallel here).  Same edge-metric
+    semantics as _fwd_soft_kernel: cost-if-1 = relu(+q), cost-if-0 =
+    relu(-q), zero LLRs (depunctured erasures) contribute no cost, and
+    the poly-symmetry complement is emc = Q - em with Q = sum_b |q_b|
+    (viterbiDecoder.h:33-39 generalized).
+    """
+    NS = spec.num_states
+    HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
+    n = spec.n
+    qplanes = cost_ref[:]                     # (n, CHUNK_F, 128)
+    C128 = UNIT16 << 7                        # +128 per field
+    BQ = 0x7F7F7F7F                           # (32767 - 128) per field
+    G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
+    acs = functools.partial(_acs_swar, unit=UNIT16, bias=B16, sh=15,
+                            selmul=0xFFFF)
+
+    mA = mB = None
+    for g in range(GPC):
+        acc = [jnp.zeros((Q8, LANES), jnp.int32) for _ in range(8)]
+
+        def add_acc(rows, start, acc=acc):
+            for b_ in range(rows.shape[0] // Q8):
+                idx = start // Q8 + b_
+                acc[idx] = acc[idx] + rows[b_ * Q8:(b_ + 1) * Q8]
+
+        for j in range(PACK):
+            t_row = g * PACK + j
+            stage = t_row % 3
+            em = Q = None
+            for b in range(n):
+                qrow = qplanes[b, t_row:t_row + 1, :]   # biased q + 128
+                ge = ((qrow + BQ) >> 15) & UNIT16       # 1 iff q >= 0
+                gm = ge * 0xFFFF
+                ng = gm ^ -1
+                c1 = (qrow & gm) - (ge << 7)            # relu(+q)
+                c0 = (C128 & ng) - (qrow & ng)          # relu(-q)
+                e_b = c0 ^ ((c0 ^ c1) & G[stage][b])
+                em = e_b if em is None else em + e_b
+                q_b = c0 + c1                           # |q|
+                Q = q_b if Q is None else Q + q_b
+            emc = Q - em
+            if stage == 0:
+                ev, od, de, do = acs(m[:HALF], m[HALF:], em, emc, j)
+                mA = (ev, od)
+                add_acc(de, 0)
+                add_acc(do, HALF)
+            elif stage == 1:
+                ev, od = mA
+                e1, o1, d1e, d1o = acs(ev[:Q4], ev[Q4:],
+                                       em[:Q4], emc[:Q4], j)
+                e2, o2, d2e, d2o = acs(od[:Q4], od[Q4:],
+                                       em[Q4:], emc[Q4:], j)
+                mB = (e1, o1, e2, o2)
+                add_acc(d1e, 0)
+                add_acc(d1o, Q4)
+                add_acc(d2e, 2 * Q4)
+                add_acc(d2o, 3 * Q4)
+            else:
+                outs = []
+                for c in range(4):
+                    blk = mB[c]
+                    e, o, de, do = acs(blk[:Q8], blk[Q8:],
+                                       em[c * Q8:(c + 1) * Q8],
+                                       emc[c * Q8:(c + 1) * Q8], j)
+                    outs += [e, o]
+                    add_acc(de, 2 * c * Q8)
+                    add_acc(do, (2 * c + 1) * Q8)
+                m = jnp.stack(outs, axis=0).transpose(1, 0, 2) \
+                       .reshape(NS, LANES)
+        # 16-bit fields have huge headroom (growth <= 24*n*qmax per
+        # cadence), but renorm anyway to keep the guard bound trivial.
+        if (g * PACK + PACK - 1) % 3 == 2:
+            mn = m[:Q8]
+            for b_ in range(1, 8):
+                mn = _swar_min(mn, m[b_ * Q8:(b_ + 1) * Q8],
+                               UNIT16, B16, 15, 0xFFFF)
+            while mn.shape[0] > 1:
+                h_ = mn.shape[0] // 2
+                mn = _swar_min(mn[:h_], mn[h_:], UNIT16, B16, 15, 0xFFFF)
+            m = m - mn
+        dec_store(g, acc)
+    return m
+
+
+def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit, unit=UNIT,
+                        selmul=0xFF):
     """One CHUNK_F-step SWAR backward traceback.
 
     `hb`: 8 (Q8, 128) packed one-hot blocks (fields 0/1), natural order
@@ -190,7 +290,7 @@ def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit):
         for j in range(PACK - 1, -1, -1):
             stage = (g * PACK + j) % 3
             wf = 1 << j
-            gm = [((d_ >> j) & UNIT) * 0xFF for d_ in db]
+            gm = [((d_ >> j) & unit) * selmul for d_ in db]
 
             def merge(i0, i1, hb=None, gm=gm):
                 h0, h1 = hb[i0], hb[i1]
@@ -236,7 +336,7 @@ def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit):
 def _fwd_kernel_swar(spec: CodeSpec):
     NS = spec.num_states
     Q8 = NS // 8
-    init_hi = min(init_metric_value(spec), 100)
+    init_hi = init_metric_value(spec)   # swar_supported bounds it
 
     def kernel(g_ref, seg_ref, dec_ref, m_ref):
         t_chunk = pl.program_id(1)
@@ -257,7 +357,7 @@ def _fwd_kernel_swar(spec: CodeSpec):
     return kernel
 
 
-def _tb_kernel_swar(spec: CodeSpec):
+def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF):
     NS = spec.num_states
     Q8 = NS // 8
 
@@ -269,19 +369,19 @@ def _tb_kernel_swar(spec: CodeSpec):
         @pl.when(i == 0)
         def _():
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
-            h_ref[:] = jnp.where(s_idx == 0, UNIT, 0).astype(jnp.int32)
+            h_ref[:] = jnp.where(s_idx == 0, unit, 0).astype(jnp.int32)
 
         h = h_ref[:]
         hb = [h[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
 
         def get_dec(g):
             gm = gmask_ref[gbase + g, 0]
-            return dec_ref[g] & (gm * UNIT)
+            return dec_ref[g] & (gm * unit)
 
         def emit(g, out_acc):
             out_ref[g, 0, :] = out_acc.reshape(LANES)
 
-        hb = _tb_chunk_body_swar(spec, hb, get_dec, emit)
+        hb = _tb_chunk_body_swar(spec, hb, get_dec, emit, unit, selmul)
         for b_ in range(8):
             h_ref[b_ * Q8:(b_ + 1) * Q8] = hb[b_]
 
@@ -332,18 +432,20 @@ def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
     )(G, seg_packed)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def traceback_batch_swar(spec: CodeSpec, decs, t_actual: int,
-                         interpret: bool = False):
+                         interpret: bool = False, wide: bool = False):
     """decs: [TG, NS, B4] int32 packed decisions.  Returns packed
-    decoded bits [TG, 1, B4] int32 (byte fields per channel)."""
+    decoded bits [TG, 1, B4] int32 (one 8- or 16-bit field per
+    channel)."""
     NS = spec.num_states
     TG, _, B4 = decs.shape
     nt = TG // GPC
     nb = B4 // LANES
     gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
     return pl.pallas_call(
-        _tb_kernel_swar(spec),
+        _tb_kernel_swar(spec, *((UNIT16, 0xFFFF) if wide
+                                else (UNIT, 0xFF))),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((TG, 1), lambda b, t: (0, 0),
@@ -370,3 +472,88 @@ def swar_decode_packed(spec: CodeSpec, segments, t_actual: int,
     decs = acs_forward_batch_swar(spec, seg_packed, interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret)
     return _unpack_out(out32, B)
+
+
+def _fwd_kernel_swar_soft(spec: CodeSpec):
+    NS = spec.num_states
+    Q8 = NS // 8
+    init_hi = init_metric_value(spec)
+
+    def kernel(g_ref, cost_ref, dec_ref, m_ref):
+        t_chunk = pl.program_id(1)
+
+        @pl.when(t_chunk == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi * UNIT16).astype(jnp.int32)
+
+        def dec_store(g, acc):
+            for b_ in range(8):
+                dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = acc[b_]
+
+        m_ref[:] = _fwd_chunk_body_swar_soft(spec, g_ref, cost_ref,
+                                             m_ref[:], dec_store)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
+                                interpret: bool = False):
+    """cost_packed: [n, T, B2] int32 packed biased LLRs (see
+    _fwd_chunk_body_swar_soft).  Returns packed decisions
+    [T//PACK, NS, B2] int32."""
+    NS = spec.num_states
+    n2, T, B2 = cost_packed.shape
+    nt = T // CHUNK_F
+    nb = B2 // LANES
+    G = jnp.asarray(_branch_masks(spec, full_word=True))
+    return pl.pallas_call(
+        _fwd_kernel_swar_soft(spec),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n2, CHUNK_F, LANES),
+                               lambda b, t: (0, t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * GPC, NS, B2), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(G, cost_packed)
+
+
+def _pack_qllrs(qllrs):
+    """[B, T, n] int8 quantized LLRs -> [n, T, B//2] int32 packed
+    biased LLRs (q + 128, one 16-bit field per channel): channel
+    c = tile*256 + f*128 + l at lane (tile*128 + l) field f."""
+    B, T, n = qllrs.shape
+    qb = jnp.asarray(qllrs, jnp.int32) + 128
+    planes = jnp.moveaxis(qb, -1, 0)          # (n, B, T)
+    planes = planes.reshape(n, B // SWAR_TILE16, 2, LANES, T)
+    packed = planes[:, :, 0] | (planes[:, :, 1] << 16)
+    return packed.transpose(0, 3, 1, 2).reshape(
+        n, T, (B // SWAR_TILE16) * LANES)
+
+
+def _unpack_out16(out32, B):
+    """[TG, 1, B//2] int32 -> [TG, B] uint8 packed decoded bits."""
+    TG = out32.shape[0]
+    o = out32.reshape(TG, B // SWAR_TILE16, LANES)
+    fields = [(o >> (16 * f)) & 0xFF for f in range(2)]
+    o = jnp.stack(fields, axis=2)             # (TG, tiles, 2, 128)
+    return o.reshape(TG, B).astype(jnp.uint8)
+
+
+def swar_decode_packed_soft(spec: CodeSpec, qllrs, t_actual: int,
+                            interpret: bool = False):
+    """[B, T, n] int8 quantized LLRs (pre-padded to SWAR_TILE16 x
+    CHUNK_F) -> packed decoded bits [T//PACK, B] uint8."""
+    B, T, _ = qllrs.shape
+    cost_packed = _pack_qllrs(qllrs)
+    decs = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
+    out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
+                                 wide=True)
+    return _unpack_out16(out32, B)
