@@ -77,29 +77,52 @@ def kernel_traffic(spec: CodeSpec, batch: int, steps: int,
     decoded bit (SURVEY §5 tracing row; per-kernel counters the reference
     never needed because its working set was cache-resident).
 
-    Modes: "block" (fused fwd + traceback), "block_soft", "stream"
-    (register-exchange).  VMEM-resident traffic (metrics/register
-    scratch) is excluded — it never touches HBM.
+    Modes model the paths `viterbi_decode_batch` actually dispatches to:
+
+    - "block": SWAR hard kernels (kernels/acs_swar.py, 4 channels per
+      int32 lane).  Decisions stay 1 bit/state/step in HBM; path metrics
+      live in VMEM scratch for the whole packet (no final-metric
+      round-trip — the traceback recomputes its start from the last
+      decision group).  "glue" is the XLA channel-packing prologue /
+      bit-unpacking epilogue around the kernels (one extra HBM
+      round-trip of the segment batch / output bits).
+    - "block_int32": the pre-SWAR fused 3-stage kernels
+      (kernels/acs_pallas.py), still used when `swar_supported` is
+      False (NS < 64 or k > 1); these do write final metrics.
+    - "block_soft": SWAR-16 soft kernels (2 channels per lane, n
+      16-bit biased-LLR planes in, relu costs recovered in-kernel).
+    - "stream": register-exchange streaming kernel (decisions never
+      touch HBM; per-call state = metrics + W-deep registers).
+
+    VMEM-resident traffic is excluded — it never touches HBM.
     """
     NS = spec.num_states
     n = spec.n
     B, T = batch, steps
-    dec_bytes = T // 8 * NS * B          # packed decisions, uint8
+    dec_bytes = T // 8 * NS * B          # packed decisions, 1 bit/state/step
     bits_out = T // 8 * B                # packed decoded bits
     fm = NS * B * 4                      # final metrics, int32
+    glue = 0
     if mode == "block":
+        # pack: read [B,T] u8, write [T,B/4] i32; unpack: out round-trip
+        glue = 2 * T * B + 2 * bits_out
+        fwd_r, fwd_w = T * B, dec_bytes
+        tb_r, tb_w = dec_bytes, bits_out
+    elif mode == "block_int32":
         fwd_r, fwd_w = T * B, dec_bytes + fm
         tb_r, tb_w = dec_bytes + NS * B, bits_out
     elif mode == "block_soft":
-        fwd_r, fwd_w = T * n * B, dec_bytes + fm
-        tb_r, tb_w = dec_bytes + NS * B, bits_out
+        # pack: read [B,T,n] i8, write [n,T,B/2] i32 (16-bit fields)
+        glue = (n * T * B + 2 * n * T * B) + 2 * bits_out
+        fwd_r, fwd_w = 2 * n * T * B, dec_bytes
+        tb_r, tb_w = dec_bytes, bits_out
     elif mode == "stream":
         state = 3 * NS * B * 4
         fwd_r, fwd_w = T * B + state, bits_out + state
         tb_r = tb_w = 0
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    total = fwd_r + fwd_w + tb_r + tb_w
+    total = fwd_r + fwd_w + tb_r + tb_w + glue
     decoded_bits = (T - spec.S) * B * spec.k
     return {
         "mode": mode,
@@ -107,6 +130,7 @@ def kernel_traffic(spec: CodeSpec, batch: int, steps: int,
         "forward_write_bytes": fwd_w,
         "traceback_read_bytes": tb_r,
         "traceback_write_bytes": tb_w,
+        "glue_bytes": glue,
         "total_bytes": total,
         "bytes_per_decoded_bit": total / decoded_bits,
         "decoded_bits": decoded_bits,
@@ -116,15 +140,16 @@ def kernel_traffic(spec: CodeSpec, batch: int, steps: int,
 def traffic_report(spec: CodeSpec, batch: int, steps: int) -> str:
     """Render the per-kernel traffic table for all decode modes."""
     rows = [kernel_traffic(spec, batch, steps, m)
-            for m in ("block", "block_soft", "stream")]
+            for m in ("block", "block_int32", "block_soft", "stream")]
     out = [f"HBM traffic per call (B={batch}, T={steps}, "
            f"K={spec.K}, NS={spec.num_states}):",
            f"  {'mode':11s} {'fwd R':>10s} {'fwd W':>10s} {'tb R':>10s} "
-           f"{'tb W':>10s} {'total':>11s} {'B/bit':>7s}"]
+           f"{'tb W':>10s} {'glue':>10s} {'total':>11s} {'B/bit':>7s}"]
     for r in rows:
         out.append(
             f"  {r['mode']:11s} {r['forward_read_bytes']:>10,} "
             f"{r['forward_write_bytes']:>10,} {r['traceback_read_bytes']:>10,} "
-            f"{r['traceback_write_bytes']:>10,} {r['total_bytes']:>11,} "
+            f"{r['traceback_write_bytes']:>10,} {r['glue_bytes']:>10,} "
+            f"{r['total_bytes']:>11,} "
             f"{r['bytes_per_decoded_bit']:>7.2f}")
     return "\n".join(out)

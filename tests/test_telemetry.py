@@ -1,0 +1,68 @@
+"""Telemetry unit tests: describe, ThroughputMeter, HBM traffic model.
+
+The traffic model is analytic (SURVEY §5 tracing row); these tests pin
+its invariants — decision traffic is 1 bit/state/step in every block
+mode, the streaming path never round-trips decisions through HBM, and
+the report renders one row per dispatchable mode.
+"""
+
+import pytest
+
+from convolutionalencdec_tpu.params import NASA_K7, TOY_K3
+from convolutionalencdec_tpu.utils import (ThroughputMeter, describe,
+                                           kernel_traffic, traffic_report)
+
+
+def test_describe_mentions_parameters():
+    text = describe(NASA_K7)
+    assert "K=7" in text
+    assert "0o133" in text and "0o171" in text
+    assert "64" in text  # num_states
+
+
+def test_kernel_traffic_decision_bytes():
+    B, T = 2048, 2048
+    NS = NASA_K7.num_states
+    dec = T // 8 * NS * B
+    for mode in ("block", "block_int32", "block_soft"):
+        r = kernel_traffic(NASA_K7, B, T, mode)
+        assert r["forward_write_bytes"] >= dec
+        assert r["traceback_read_bytes"] >= dec
+        assert r["total_bytes"] == (
+            r["forward_read_bytes"] + r["forward_write_bytes"]
+            + r["traceback_read_bytes"] + r["traceback_write_bytes"]
+            + r["glue_bytes"])
+        assert r["decoded_bits"] == (T - NASA_K7.S) * B
+
+
+def test_kernel_traffic_stream_no_decision_roundtrip():
+    r = kernel_traffic(NASA_K7, 2048, 2048, "stream")
+    assert r["traceback_read_bytes"] == 0
+    assert r["traceback_write_bytes"] == 0
+    # Streaming is the low-traffic mode by an order of magnitude.
+    blk = kernel_traffic(NASA_K7, 2048, 2048, "block")
+    assert r["bytes_per_decoded_bit"] < blk["bytes_per_decoded_bit"] / 5
+
+
+def test_kernel_traffic_k_scaling():
+    # k=1 decodes 1 bit/step; decoded_bits must scale with k.
+    r = kernel_traffic(TOY_K3, 256, 256, "block_int32")
+    assert r["decoded_bits"] == (256 - TOY_K3.S) * 256 * TOY_K3.k
+
+
+def test_kernel_traffic_unknown_mode():
+    with pytest.raises(ValueError):
+        kernel_traffic(NASA_K7, 8, 8, "warp")
+
+
+def test_traffic_report_renders_all_modes():
+    text = traffic_report(NASA_K7, 2048, 2054)
+    for mode in ("block", "block_int32", "block_soft", "stream"):
+        assert mode in text
+
+
+def test_throughput_meter_accumulates():
+    m = ThroughputMeter(report_every_s=0.0)
+    line = m.tick(1_000_000)
+    assert line is not None and "Mbit/s" in line
+    assert m.average_mbps > 0
