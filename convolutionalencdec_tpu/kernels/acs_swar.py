@@ -47,7 +47,11 @@ UNIT = 0x01010101          # one LSB per byte field
 B127 = 0x7F7F7F7F          # guard-bit bias: +127 per field
 UNIT16 = 0x00010001        # one LSB per 16-bit field (soft path)
 B16 = 0x7FFF7FFF           # guard-bit bias: +32767 per 16-bit field
-LANES = 128
+# Two vregs of lanes per tile: the per-step ACS chain on one vreg
+# leaves the VPU's issue slots underfed; a 256-lane tile gives the
+# Mosaic scheduler two independent vreg-ops per instruction (measured:
+# fwd 238 -> 217 us, tb 120 -> 111 us at B=2048; 512 lanes regresses).
+LANES = 256
 SWAR_TILE = 4 * LANES      # channels per kernel tile (hard, 8-bit fields)
 SWAR_TILE16 = 2 * LANES    # channels per kernel tile (soft, 16-bit fields)
 GPC = CHUNK_F // PACK
@@ -389,8 +393,13 @@ def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF):
 
 
 def _pack_channels(segments):
-    """[B, T] uint8 -> [T, B//4] int32, channel c = tile*512 + f*128 + l
-    at lane (tile*128 + l) byte field f."""
+    """[B, T] uint8 -> [T, B//4] int32, channel c = tile*4L + f*L + l
+    at lane (tile*L + l) byte field f (L = LANES).
+
+    The widen-shift-or route measures 62 us at B=2048, T=2064 on v5e;
+    a bitcast + SWAR-byte-transpose alternative (no widened
+    intermediate) measured 2x WORSE — XLA lowers uint8 bitcast
+    shuffles through relayout copies on TPU."""
     B, T = segments.shape
     s32 = segments.reshape(B // SWAR_TILE, 4, LANES, T).astype(jnp.int32)
     packed = (s32[:, 0] | (s32[:, 1] << 8)
