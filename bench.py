@@ -43,8 +43,13 @@ def main():
     coded_dev = jax.device_put(jnp.asarray(coded))
 
     if on_tpu:
-        from convolutionalencdec_tpu.kernels import viterbi_decode_batch
-        decode = lambda c: viterbi_decode_batch(spec, c)  # noqa: E731
+        # Decode to PACKED BYTES — the reference's speedDecode times
+        # viterbiDecoderHard's packed-byte emit (speedDecode.c:78-116,
+        # viterbiDecoder.c:152-189), and on the SWAR path the byte
+        # format is also the fastest (MSb-first in-kernel emit).
+        from convolutionalencdec_tpu.kernels import (
+            viterbi_decode_batch_bytes)
+        decode = lambda c: viterbi_decode_batch_bytes(spec, c)  # noqa: E731
     else:
         decode = jax.jit(jax.vmap(lambda c: fec.viterbi_decode(spec, c)))
 
@@ -53,7 +58,10 @@ def main():
     out.block_until_ready()
     # At 3% segment corruption a small residual BER survives (correctly);
     # a broken decoder is off by orders of magnitude.
-    ber = float((np.asarray(out) != msgs).mean())
+    got = np.asarray(out)
+    if on_tpu:
+        got = np.unpackbits(got, axis=1)[:, :L]
+    ber = float((got != msgs).mean())
     assert ber < 2e-3, f"decode BER {ber} implausibly high in bench"
 
     # Steady state: keep the dispatch queue deep so per-call overhead

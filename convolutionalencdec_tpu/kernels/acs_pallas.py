@@ -1441,7 +1441,19 @@ def viterbi_decode_batch_bytes(spec: CodeSpec, segments,
     Byte twin of `viterbi_decode_batch` (MSb-first fill, zero-padded
     trailing byte), matching `encode_bytes`/the reference's packed output
     (viterbiDecoder.c:152-189).  Returns uint8 [B, ceil(L/8)].
+
+    On the SWAR path the traceback emits reference-convention bytes
+    directly (no unpack-to-bits round-trip) — byte decode is the
+    FASTEST output format, as in the reference, whose speedDecode
+    harness times exactly this packed-byte emit.
     """
+    from .acs_swar import SWAR_TILE, swar_decode_bytes, swar_supported
+    if spec.k == 1 and spec.has_poly_symmetry and swar_supported(spec):
+        segments = jnp.asarray(segments, jnp.uint8)
+        B, T = segments.shape
+        L = message_bits if message_bits is not None else T - spec.S
+        seg_p = _pad_to(_pad_to(segments, SWAR_TILE, 0), CHUNK_F, 1)
+        return swar_decode_bytes(spec, seg_p, T, L, interpret)[:B]
     from ..ops.bits import pack_bits
     bits = viterbi_decode_batch(spec, segments, message_bits, interpret)
     pad = (-bits.shape[-1]) % 8

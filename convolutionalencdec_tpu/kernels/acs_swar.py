@@ -279,12 +279,15 @@ def _fwd_chunk_body_swar_soft(spec: CodeSpec, g_ref, cost_ref, m,
 
 
 def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit, unit=UNIT,
-                        selmul=0xFF):
+                        selmul=0xFF, msb_first=False):
     """One CHUNK_F-step SWAR backward traceback.
 
     `hb`: 8 (Q8, 128) packed one-hot blocks (fields 0/1), natural order
     at chunk entry.  Mirrors _tb_chunk_body's select network with
-    field-parallel bitwise merges; per-group deferred bit emission."""
+    field-parallel bitwise merges; per-group deferred bit emission.
+    `msb_first` packs step g*8+j at bit 7-j instead of j — the output
+    field is then directly a reference-convention decoded BYTE
+    (viterbiDecoder.c:152-189 MSb-first fill), at zero kernel cost."""
     NS = spec.num_states
     Q8 = NS // 8
     for g in range(GPC - 1, -1, -1):
@@ -293,7 +296,7 @@ def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit, unit=UNIT,
         oacc = [jnp.zeros((Q8, LANES), jnp.int32) for _ in range(4)]
         for j in range(PACK - 1, -1, -1):
             stage = (g * PACK + j) % 3
-            wf = 1 << j
+            wf = 1 << (PACK - 1 - j) if msb_first else 1 << j
             gm = [((d_ >> j) & unit) * selmul for d_ in db]
 
             def merge(i0, i1, hb=None, gm=gm):
@@ -361,7 +364,8 @@ def _fwd_kernel_swar(spec: CodeSpec):
     return kernel
 
 
-def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF):
+def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF,
+                    msb_first=False):
     NS = spec.num_states
     Q8 = NS // 8
 
@@ -385,7 +389,8 @@ def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF):
         def emit(g, out_acc):
             out_ref[g, 0, :] = out_acc.reshape(LANES)
 
-        hb = _tb_chunk_body_swar(spec, hb, get_dec, emit, unit, selmul)
+        hb = _tb_chunk_body_swar(spec, hb, get_dec, emit, unit, selmul,
+                                 msb_first)
         for b_ in range(8):
             h_ref[b_ * Q8:(b_ + 1) * Q8] = hb[b_]
 
@@ -441,12 +446,14 @@ def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
     )(G, seg_packed)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def traceback_batch_swar(spec: CodeSpec, decs, t_actual: int,
-                         interpret: bool = False, wide: bool = False):
+                         interpret: bool = False, wide: bool = False,
+                         msb_first: bool = False):
     """decs: [TG, NS, B4] int32 packed decisions.  Returns packed
     decoded bits [TG, 1, B4] int32 (one 8- or 16-bit field per
-    channel)."""
+    channel; with `msb_first` each field is a reference-convention
+    decoded byte, step g*8+j at bit 7-j)."""
     NS = spec.num_states
     TG, _, B4 = decs.shape
     nt = TG // GPC
@@ -454,7 +461,7 @@ def traceback_batch_swar(spec: CodeSpec, decs, t_actual: int,
     gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
     return pl.pallas_call(
         _tb_kernel_swar(spec, *((UNIT16, 0xFFFF) if wide
-                                else (UNIT, 0xFF))),
+                                else (UNIT, 0xFF)), msb_first),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((TG, 1), lambda b, t: (0, 0),
@@ -481,6 +488,30 @@ def swar_decode_packed(spec: CodeSpec, segments, t_actual: int,
     decs = acs_forward_batch_swar(spec, seg_packed, interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret)
     return _unpack_out(out32, B)
+
+
+def swar_decode_bytes(spec: CodeSpec, segments, t_actual: int, L: int,
+                      interpret: bool = False):
+    """[B, T] uint8 segments (pre-padded) -> [B, ceil(L/8)] uint8
+    decoded bytes, MSb-first fill with a zero-padded trailing byte —
+    the reference's packed output format (viterbiDecoder.c:152-189).
+
+    The traceback emits reference-convention bytes directly
+    (msb_first), so the epilogue is a trim + trailing-byte mask + one
+    small transpose — ~8x less HBM traffic than unpack-to-bits."""
+    B, T = segments.shape
+    seg_packed = _pack_channels(segments)
+    decs = acs_forward_batch_swar(spec, seg_packed, interpret)
+    out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
+                                 msb_first=True)
+    nbytes = (L + 7) // 8
+    packed = _unpack_out(out32, B)[:nbytes]    # (nbytes, B) u8
+    rem = L % 8
+    if rem:
+        mask = jnp.full((nbytes, 1), 0xFF, jnp.uint8)
+        mask = mask.at[-1, 0].set((0xFF << (8 - rem)) & 0xFF)
+        packed = packed & mask
+    return packed.T                            # (B, nbytes)
 
 
 def _fwd_kernel_swar_soft(spec: CodeSpec):

@@ -94,6 +94,28 @@ def test_streaming_decode_bytes_batch_k7():
     np.testing.assert_array_equal(got, want)
 
 
+def test_decode_batch_bytes_swar_fast_path():
+    """The SWAR byte fast path (MSb-first traceback emit) must equal
+    pack_bits of the bit decode, including the zero-padded partial
+    trailing byte."""
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch, viterbi_decode_batch_bytes)
+    rng = np.random.default_rng(9)
+    B, L = 3, 93                        # L % 8 == 5: partial tail
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(NASA_K7, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.02
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    got = np.asarray(viterbi_decode_batch_bytes(NASA_K7, coded, L,
+                                                interpret=True))
+    bits = np.asarray(viterbi_decode_batch(NASA_K7, coded, L,
+                                           interpret=True))
+    want = np.stack([pack_bits_np(np.pad(bits[i], (0, (-L) % 8)))
+                     for i in range(B)])
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (B, (L + 7) // 8)
+
+
 def test_decode_bytes_matches_oracle():
     """Byte output against the independent C++ oracle."""
     from convolutionalencdec_tpu.native import oracle_decode
