@@ -345,10 +345,19 @@ def _fwd_kernel_swar(spec: CodeSpec):
     Q8 = NS // 8
     init_hi = init_metric_value(spec)   # swar_supported bounds it
 
-    def kernel(g_ref, seg_ref, dec_ref, m_ref):
+    def kernel(ic_ref, g_ref, seg_ref, dec_ref, fm_ref, m_ref):
+        # ic_ref: (1, 1) int32 SMEM — chunk at which the standard initial
+        # metrics apply (0 = whole packet; W/CHUNK_F for the first block
+        # of a time-sharded stream; -1 keeps the uniform start for
+        # interior blocks — viterbiDecoder.c:53-74's truncation argument).
+        # fm_ref: (NS, B4) packed final metrics (valid after last chunk).
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
+        def _():
+            m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
+
+        @pl.when(t_chunk == ic_ref[0, 0])
         def _():
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
@@ -358,26 +367,39 @@ def _fwd_kernel_swar(spec: CodeSpec):
             for b_ in range(8):
                 dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = acc[b_]
 
-        m_ref[:] = _fwd_chunk_body_swar(spec, g_ref, seg_ref,
-                                        m_ref[:], dec_store)
+        m = _fwd_chunk_body_swar(spec, g_ref, seg_ref, m_ref[:], dec_store)
+        m_ref[:] = m
+        fm_ref[:] = m
 
     return kernel
 
 
 def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF,
-                    msb_first=False):
+                    msb_first=False, with_hinit=False):
     NS = spec.num_states
     Q8 = NS // 8
 
-    def kernel(gmask_ref, dec_ref, out_ref, h_ref):
+    def kernel(*refs):
+        # with_hinit: hinit_ref is a (NS, B4) packed one-hot walk start
+        # (unit fields) — one-hot(argmin(final metrics)) for time-sharded
+        # blocks; without it the walk starts at the terminal state 0
+        # (viterbiDecoderButterflyk1.c:212).
+        if with_hinit:
+            gmask_ref, hinit_ref, dec_ref, out_ref, h_ref = refs
+        else:
+            gmask_ref, dec_ref, out_ref, h_ref = refs
         i = pl.program_id(1)
         nt_total = pl.num_programs(1)
         gbase = (nt_total - 1 - i) * GPC
 
         @pl.when(i == 0)
         def _():
-            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
-            h_ref[:] = jnp.where(s_idx == 0, unit, 0).astype(jnp.int32)
+            if with_hinit:
+                h_ref[:] = hinit_ref[:]
+            else:
+                s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
+                h_ref[:] = jnp.where(s_idx == 0, unit, 0) \
+                              .astype(jnp.int32)
 
         h = h_ref[:]
         hb = [h[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
@@ -423,27 +445,36 @@ def _unpack_out(out32, B):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
-                           interpret: bool = False):
+                           interpret: bool = False, init_chunk=0):
     """seg_packed: [T, B4] int32 (T % CHUNK_F == 0, B4 % 128 == 0).
-    Returns packed decisions [T//PACK, NS, B4] int32."""
+    `init_chunk` (may be traced) is the chunk at which the standard
+    initial metrics apply; -1 keeps a uniform start (time-sharded
+    interior blocks).  Returns (packed decisions [T//PACK, NS, B4]
+    int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     T, B4 = seg_packed.shape
     nt = T // CHUNK_F
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec))
+    ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         _fwd_kernel_swar(spec),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((CHUNK_F, LANES), lambda b, t: (t, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt * GPC, NS, B4), jnp.int32),
+        out_specs=[pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nt * GPC, NS, B4), jnp.int32),
+                   jax.ShapeDtypeStruct((NS, B4), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
         interpret=interpret,
-    )(G, seg_packed)
+    )(ic, G, seg_packed)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -479,13 +510,79 @@ def traceback_batch_swar(spec: CodeSpec, decs, t_actual: int,
     )(gmask, decs)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def traceback_batch_swar_masked(spec: CodeSpec, decs, gmask, h_init,
+                                interpret: bool = False,
+                                wide: bool = False,
+                                msb_first: bool = False):
+    """SWAR twin of acs_pallas.traceback_batch_fused_masked: traced
+    per-group decision masks + packed one-hot walk start, for the
+    time-sharded decoder (parallel/sharding.py).
+
+    Args:
+      decs: [TG, NS, B4] int32 packed decisions.
+      gmask: int32 [TG, 1] per-group byte masks (0xFF live, 0 beyond;
+        masked steps have decision 0, which teleports any state to the
+        terminal state 0 within S steps — shift-register states).
+      h_init: [NS, B4] int32 packed one-hot start (unit fields).
+    Returns packed decoded bits [TG, 1, B4] int32.
+    """
+    NS = spec.num_states
+    TG, _, B4 = decs.shape
+    nt = TG // GPC
+    nb = B4 // LANES
+    gmask = jnp.asarray(gmask, jnp.int32).reshape(TG, 1)
+    return pl.pallas_call(
+        _tb_kernel_swar(spec, *((UNIT16, 0xFFFF) if wide
+                                else (UNIT, 0xFF)), msb_first,
+                        with_hinit=True),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPC, NS, LANES),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPC, 1, LANES),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, 1, B4), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(gmask, jnp.asarray(h_init, jnp.int32), decs)
+
+
+def pack_fields(x):
+    """[R, B] int32 -> [R, B//4] int32 with the SWAR channel mapping
+    (channel tile*4L + f*L + l at lane tile*L + l byte field f) —
+    _pack_channels without the time transpose, for per-state arrays
+    (one-hot starts, metrics)."""
+    R, B = x.shape
+    xr = jnp.asarray(x, jnp.int32).reshape(R, B // SWAR_TILE, 4, LANES)
+    return (xr[:, :, 0] | (xr[:, :, 1] << 8)
+            | (xr[:, :, 2] << 16) | (xr[:, :, 3] << 24)) \
+        .reshape(R, B // 4)
+
+
+def unpack_fields(p, B):
+    """[R, B//4] int32 -> [R, B] int32 (inverse of pack_fields for
+    non-negative byte fields, e.g. renormalized path metrics)."""
+    R = p.shape[0]
+    pr = p.reshape(R, B // SWAR_TILE, LANES)
+    fields = [(pr >> (8 * f)) & 0xFF for f in range(4)]
+    return jnp.stack(fields, axis=2).reshape(R, B)
+
+
 def swar_decode_packed(spec: CodeSpec, segments, t_actual: int,
                        interpret: bool = False):
     """[B, T] uint8 segments (pre-padded to SWAR_TILE x CHUNK_F) ->
     packed decoded bits [T//PACK, B] uint8."""
     B, T = segments.shape
     seg_packed = _pack_channels(segments)
-    decs = acs_forward_batch_swar(spec, seg_packed, interpret)
+    decs, _ = acs_forward_batch_swar(spec, seg_packed, interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret)
     return _unpack_out(out32, B)
 
@@ -501,7 +598,7 @@ def swar_decode_bytes(spec: CodeSpec, segments, t_actual: int, L: int,
     small transpose — ~8x less HBM traffic than unpack-to-bits."""
     B, T = segments.shape
     seg_packed = _pack_channels(segments)
-    decs = acs_forward_batch_swar(spec, seg_packed, interpret)
+    decs, _ = acs_forward_batch_swar(spec, seg_packed, interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
                                  msb_first=True)
     nbytes = (L + 7) // 8

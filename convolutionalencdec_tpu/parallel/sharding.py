@@ -280,10 +280,12 @@ def decode_sharded_kernel(spec: CodeSpec, segments, mesh: Mesh,
     from ..kernels.acs_pallas import (
         CHUNK_F, PACK, B_TILE, acs_forward_batch_fused,
         traceback_batch_fused_masked, _group_masks)
+    from ..kernels import acs_swar
 
     spec.validate_for_butterfly()
     if spec.num_states < 64:
         raise ValueError("kernel-backed sharded decode requires NS >= 64")
+    use_swar = acs_swar.swar_supported(spec)
     segments = jnp.asarray(segments, jnp.uint8)
     B, T = segments.shape
     nch = mesh.shape["ch"]
@@ -319,12 +321,8 @@ def decode_sharded_kernel(spec: CodeSpec, segments, mesh: Mesh,
             z = jnp.zeros((seg_local.shape[0], W), seg_local.dtype)
             ext = jnp.concatenate([z, seg_local, z], axis=1)
         Bl, Te = ext.shape                       # Te = 2W + Tl, % CHUNK_F == 0
-        Bp = -(-Bl // B_TILE) * B_TILE
-        ext = jnp.pad(ext, ((0, Bp - Bl), (0, 0)))
         # Device 0: exact initial metrics once its zero left halo is done.
         init_chunk = jnp.where(i == 0, W // CHUNK_F, -1)
-        decs, fm = acs_forward_batch_fused(spec, ext, interpret,
-                                           init_chunk=init_chunk)
         # Decision masks: the last device zeroes its right tail (teleports
         # the walk to terminal state 0); others keep every step live.
         TG = Te // PACK
@@ -332,13 +330,34 @@ def decode_sharded_kernel(spec: CodeSpec, segments, mesh: Mesh,
         live_groups = (W + Tl) // PACK           # W, Tl multiples of PACK
         gmask = jnp.where(jnp.logical_or(i != last, groups < live_groups),
                           0xFF, 0)
-        # Traceback start: argmin of final metrics (ties -> lowest state,
-        # matching the scan reference).
-        am = jnp.argmin(fm, axis=0)              # (Bp,)
         s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
-        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
-        packed = traceback_batch_fused_masked(spec, decs, gmask, h_init,
-                                              interpret)
+        if use_swar:
+            # SWAR route: 4 channels per int32 lane (kernels/acs_swar.py)
+            # — the same kernels behind viterbi_decode_batch, so the
+            # time-sharded path keeps headline per-device throughput.
+            Bp = -(-Bl // acs_swar.SWAR_TILE) * acs_swar.SWAR_TILE
+            ext = jnp.pad(ext, ((0, Bp - Bl), (0, 0)))
+            seg_packed = acs_swar._pack_channels(ext)
+            decs, fmp = acs_swar.acs_forward_batch_swar(
+                spec, seg_packed, interpret, init_chunk)
+            fm = acs_swar.unpack_fields(fmp, Bp)     # (NS, Bp)
+            am = jnp.argmin(fm, axis=0)              # ties -> lowest state
+            h_init = acs_swar.pack_fields(
+                (s_iota == am[None, :]).astype(jnp.int32))
+            out32 = acs_swar.traceback_batch_swar_masked(
+                spec, decs, gmask, h_init, interpret)
+            packed = acs_swar._unpack_out(out32, Bp)  # (TG, Bp)
+        else:
+            Bp = -(-Bl // B_TILE) * B_TILE
+            ext = jnp.pad(ext, ((0, Bp - Bl), (0, 0)))
+            decs, fm = acs_forward_batch_fused(spec, ext, interpret,
+                                               init_chunk=init_chunk)
+            # Traceback start: argmin of final metrics (ties -> lowest
+            # state, matching the scan reference).
+            am = jnp.argmin(fm, axis=0)              # (Bp,)
+            h_init = (s_iota == am[None, :]).astype(jnp.uint8)
+            packed = traceback_batch_fused_masked(spec, decs, gmask,
+                                                  h_init, interpret)
         j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
         bits = (packed[:, None, :] >> j) & 1
         bits = bits.reshape(Te, Bp)

@@ -38,7 +38,7 @@ def decode_new(segments):
     seg_p = jnp.pad(segments, ((0, 0), (0, Tp - T)))
     packed32 = jax.lax.bitcast_convert_type(
         seg_p.T.reshape(Tp, B // 4, 4), jnp.int32)
-    decs = acs_forward_batch_swar(spec, packed32)
+    decs, _ = acs_forward_batch_swar(spec, packed32)
     out32 = traceback_batch_swar(spec, decs, T)
     TG = out32.shape[0]
     packed = jax.lax.bitcast_convert_type(

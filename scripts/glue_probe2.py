@@ -37,7 +37,7 @@ def pack_new2(s):
     return s32.T
 
 
-decs = acs_forward_batch_swar(spec, pack_cur(seg))
+decs, _ = acs_forward_batch_swar(spec, pack_cur(seg))
 tb32 = traceback_batch_swar(spec, decs, T - 10)
 packed_cur = _unpack_out(tb32, B)
 L = T - 16

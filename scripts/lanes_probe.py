@@ -28,7 +28,7 @@ seg = jnp.asarray(rng.integers(0, 4, (B, T), dtype=np.uint8))
 seg_packed = S._pack_channels(seg)
 print("packed shape", seg_packed.shape, "LANES", L)
 
-fwd = jax.jit(lambda s: S.acs_forward_batch_swar(spec, s))
+fwd = jax.jit(lambda s: S.acs_forward_batch_swar(spec, s)[0])
 decs = jax.block_until_ready(fwd(seg_packed))
 tb = jax.jit(lambda d: S.traceback_batch_swar(spec, d, T - 10))
 out = jax.block_until_ready(tb(decs))
