@@ -488,10 +488,11 @@ def acs_forward_batch_soft(spec: CodeSpec, qllrs, interpret: bool = False):
     )(cb, q_t)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
                               message_bits: int | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              qmax: int | None = None):
     """Soft-decision block decode of a batch of terminated packets.
 
     Bit-identical to `ops.metrics.viterbi_forward_butterfly_soft` +
@@ -500,6 +501,13 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
 
     Args:
       qllrs: int [B, T, n] quantized LLRs (see ops/metrics.quantize_llrs).
+      qmax: quantizer magnitude bound of `qllrs` (defaults to
+        ops.metrics.DEFAULT_QMAX, which quantize_llrs guarantees;
+        inputs are clipped to ±qmax).  When the 8-bit exactness bound
+        holds (`acs_swar.swar8_soft_supported`) the decode rides the
+        four-channels-per-lane SWAR-8 kernels — ~1.6x the SWAR-16
+        rate.  Pass an explicit larger qmax (or one breaking the
+        bound) to force the any-int8 SWAR-16 path.
     Returns:
       uint8 [B, L] decoded message bits (L = T - S by default).
     """
@@ -507,9 +515,18 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
     qllrs = jnp.asarray(qllrs, jnp.int8)
     B, T, n = qllrs.shape
     L = message_bits if message_bits is not None else T - spec.S
-    from .acs_swar import (SWAR_TILE16, swar_decode_packed_soft,
-                           swar_supported)
-    if swar_supported(spec):
+    if qmax is None:
+        from ..ops.metrics import DEFAULT_QMAX
+        qmax = DEFAULT_QMAX
+    from .acs_swar import (SWAR_TILE, SWAR_TILE16, swar8_soft_supported,
+                           swar_decode_packed_soft,
+                           swar_decode_packed_soft8, swar_supported)
+    if swar8_soft_supported(spec, qmax):
+        # SWAR-8 kernels: 4 channels per int32 lane; exact for
+        # |q| <= qmax (the renorm-every-3-steps bound).
+        q_p = _pad_to(_pad_to(qllrs, SWAR_TILE, 0), CHUNK_F, 1)
+        packed = swar_decode_packed_soft8(spec, q_p, T, qmax, interpret)
+    elif swar_supported(spec):
         # SWAR-16 kernels: 2 channels per int32 lane (16-bit fields hold
         # the LLR-cost metric range; kernels/acs_swar.py).
         q_p = _pad_to(_pad_to(qllrs, SWAR_TILE16, 0), CHUNK_F, 1)

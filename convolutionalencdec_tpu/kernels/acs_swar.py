@@ -66,6 +66,25 @@ def swar_supported(spec: CodeSpec) -> bool:
             and init_metric_value(spec) + 25 * spec.n <= 127)
 
 
+def swar8_soft_supported(spec: CodeSpec, qmax: int) -> bool:
+    """Whether SOFT decode fits 8-bit metric fields (4 channels/lane)
+    EXACTLY.  With a renorm after every stage-2 step (3-step cadence),
+    fields are bounded by
+
+        max(init_hi, S*n*qmax) + 3*n*qmax <= 127
+
+    — the steady-state path-metric spread is at most S*n*qmax because
+    every state is reachable from the minimum-metric state's survivor
+    within S steps (each edge costs <= n*qmax), the same truncation
+    geometry as viterbiDecoder.c:53-74; warm-up fields are bounded by
+    init_hi + growth instead.  NASA K=7 at the default qmax=7 gives
+    max(64, 84) + 42 = 126: exact with one unit to spare."""
+    growth = 3 * spec.n * qmax
+    spread = max(init_metric_value(spec), spec.S * spec.n * qmax)
+    return (swar_supported(spec) and qmax <= 31
+            and spread + growth <= 127)
+
+
 def _branch_masks(spec: CodeSpec, full_word: bool = False) -> np.ndarray:
     """(3*n, HALF, 1) int32: row stage*n + b is 0 where the stage row's
     branch bit b is 0, else UNIT (hard: P_b ^ G_b = p XOR g per field)
@@ -274,6 +293,93 @@ def _fwd_chunk_body_swar_soft(spec: CodeSpec, g_ref, cost_ref, m,
                 h_ = mn.shape[0] // 2
                 mn = _swar_min(mn[:h_], mn[h_:], UNIT16, B16, 15, 0xFFFF)
             m = m - mn
+        dec_store(g, acc)
+    return m
+
+
+def _fwd_chunk_body_swar_soft8(spec: CodeSpec, qmax: int, g_ref, cost_ref,
+                               m, dec_store):
+    """One CHUNK_F-step SWAR-8 soft forward pass: FOUR channels/lane.
+
+    `cost_ref`: (n, CHUNK_F, 128) int32 — plane b carries the biased
+    quantized LLR q_b + qmax of four channels per lane as 8-bit fields
+    (inputs clipped to [-qmax, qmax] by the pack).  Exactness: see
+    `swar8_soft_supported` — the renorm runs after EVERY stage-2 step
+    (3-step cadence), which bounds every field at
+    max(init_hi, S*n*qmax) + 3*n*qmax <= 127, so the guard-bit compare
+    is exact and the decode is bit-identical to the int32 soft scan.
+    Same edge-metric semantics as the SWAR-16 kernel (relu costs
+    recovered in-kernel, zero LLRs are free erasures, emc = Q - em)."""
+    NS = spec.num_states
+    HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
+    n = spec.n
+    qplanes = cost_ref[:]                     # (n, CHUNK_F, 128)
+    CQ = qmax * UNIT                          # +qmax bias per field
+    BQ = (128 - qmax) * UNIT                  # guard-bit probe offset
+    G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
+
+    mA = mB = None
+    for g in range(GPC):
+        acc = [jnp.zeros((Q8, LANES), jnp.int32) for _ in range(8)]
+
+        def add_acc(rows, start, acc=acc):
+            for b_ in range(rows.shape[0] // Q8):
+                idx = start // Q8 + b_
+                acc[idx] = acc[idx] + rows[b_ * Q8:(b_ + 1) * Q8]
+
+        for j in range(PACK):
+            t_row = g * PACK + j
+            stage = t_row % 3
+            em = Q = None
+            for b in range(n):
+                qrow = qplanes[b, t_row:t_row + 1, :]   # biased q + qmax
+                ge = ((qrow + BQ) >> 7) & UNIT          # 1 iff q >= 0
+                gm = ge * 0xFF
+                ng = gm ^ -1
+                c1 = (qrow & gm) - (ge * qmax)          # relu(+q)
+                c0 = (CQ & ng) - (qrow & ng)            # relu(-q)
+                e_b = c0 ^ ((c0 ^ c1) & G[stage][b])
+                em = e_b if em is None else em + e_b
+                q_b = c0 + c1                           # |q|
+                Q = q_b if Q is None else Q + q_b
+            emc = Q - em
+            if stage == 0:
+                ev, od, de, do = _acs_swar(m[:HALF], m[HALF:], em, emc, j)
+                mA = (ev, od)
+                add_acc(de, 0)
+                add_acc(do, HALF)
+            elif stage == 1:
+                ev, od = mA
+                e1, o1, d1e, d1o = _acs_swar(ev[:Q4], ev[Q4:],
+                                             em[:Q4], emc[:Q4], j)
+                e2, o2, d2e, d2o = _acs_swar(od[:Q4], od[Q4:],
+                                             em[Q4:], emc[Q4:], j)
+                mB = (e1, o1, e2, o2)
+                add_acc(d1e, 0)
+                add_acc(d1o, Q4)
+                add_acc(d2e, 2 * Q4)
+                add_acc(d2o, 3 * Q4)
+            else:
+                outs = []
+                for c in range(4):
+                    blk = mB[c]
+                    e, o, de, do = _acs_swar(blk[:Q8], blk[Q8:],
+                                             em[c * Q8:(c + 1) * Q8],
+                                             emc[c * Q8:(c + 1) * Q8], j)
+                    outs += [e, o]
+                    add_acc(de, 2 * c * Q8)
+                    add_acc(do, (2 * c + 1) * Q8)
+                m = jnp.stack(outs, axis=0).transpose(1, 0, 2) \
+                       .reshape(NS, LANES)
+                # Renorm after EVERY stage-2 step — the 3-step cadence
+                # the 8-bit exactness bound requires.
+                mn = m[:Q8]
+                for b_ in range(1, 8):
+                    mn = _swar_min(mn, m[b_ * Q8:(b_ + 1) * Q8])
+                while mn.shape[0] > 1:
+                    h_ = mn.shape[0] // 2
+                    mn = _swar_min(mn[:h_], mn[h_:])
+                m = m - mn
         dec_store(g, acc)
     return m
 
@@ -694,3 +800,82 @@ def swar_decode_packed_soft(spec: CodeSpec, qllrs, t_actual: int,
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
                                  wide=True)
     return _unpack_out16(out32, B)
+
+
+def _fwd_kernel_swar_soft8(spec: CodeSpec, qmax: int):
+    NS = spec.num_states
+    Q8 = NS // 8
+    init_hi = init_metric_value(spec)
+
+    def kernel(g_ref, cost_ref, dec_ref, m_ref):
+        t_chunk = pl.program_id(1)
+
+        @pl.when(t_chunk == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
+            m_ref[:] = jnp.where(s_idx == spec.starting_state,
+                                 0, init_hi * UNIT).astype(jnp.int32)
+
+        def dec_store(g, acc):
+            for b_ in range(8):
+                dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = acc[b_]
+
+        m_ref[:] = _fwd_chunk_body_swar_soft8(spec, qmax, g_ref, cost_ref,
+                                              m_ref[:], dec_store)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def acs_forward_batch_swar_soft8(spec: CodeSpec, cost_packed,
+                                 qmax: int, interpret: bool = False):
+    """cost_packed: [n, T, B4] int32 packed biased LLRs, 8-bit fields
+    (see _fwd_chunk_body_swar_soft8).  Returns packed decisions
+    [T//PACK, NS, B4] int32."""
+    NS = spec.num_states
+    n2, T, B4 = cost_packed.shape
+    nt = T // CHUNK_F
+    nb = B4 // LANES
+    G = jnp.asarray(_branch_masks(spec, full_word=True))
+    return pl.pallas_call(
+        _fwd_kernel_swar_soft8(spec, qmax),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n2, CHUNK_F, LANES),
+                               lambda b, t: (0, t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * GPC, NS, B4), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(G, cost_packed)
+
+
+def _pack_qllrs8(qllrs, qmax: int):
+    """[B, T, n] int8 quantized LLRs -> [n, T, B//4] int32 packed
+    biased LLRs (clip to [-qmax, qmax], bias +qmax; one 8-bit field per
+    channel, same channel mapping as _pack_channels)."""
+    B, T, n = qllrs.shape
+    qb = jnp.clip(jnp.asarray(qllrs, jnp.int32), -qmax, qmax) + qmax
+    planes = jnp.moveaxis(qb, -1, 0)          # (n, B, T)
+    planes = planes.reshape(n, B // SWAR_TILE, 4, LANES, T)
+    packed = (planes[:, :, 0] | (planes[:, :, 1] << 8)
+              | (planes[:, :, 2] << 16) | (planes[:, :, 3] << 24))
+    return packed.transpose(0, 3, 1, 2).reshape(
+        n, T, (B // SWAR_TILE) * LANES)
+
+
+def swar_decode_packed_soft8(spec: CodeSpec, qllrs, t_actual: int,
+                             qmax: int, interpret: bool = False):
+    """[B, T, n] int8 quantized LLRs (pre-padded to SWAR_TILE x
+    CHUNK_F) -> packed decoded bits [T//PACK, B] uint8, via the 8-bit
+    four-channels-per-lane soft kernels (`swar8_soft_supported` must
+    hold for the given qmax)."""
+    B, T, _ = qllrs.shape
+    cost_packed = _pack_qllrs8(qllrs, qmax)
+    decs = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
+                                        interpret)
+    out32 = traceback_batch_swar(spec, decs, t_actual, interpret)
+    return _unpack_out(out32, B)

@@ -79,6 +79,46 @@ def test_soft_kernel_matches_soft_scan():
     np.testing.assert_array_equal(got, msgs)
 
 
+def test_soft8_kernel_extreme_llrs_match_scan():
+    """SWAR-8 soft exactness at the metric-field bound: adversarial
+    LLRs pinned to ±qmax (max per-step growth) must still decode
+    bit-identically to the int32 soft scan — the renorm-every-3-steps
+    bound of acs_swar.swar8_soft_supported leaves exactly one unit of
+    headroom for NASA K=7 at qmax=7."""
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
+    from convolutionalencdec_tpu.kernels.acs_swar import \
+        swar8_soft_supported
+    from convolutionalencdec_tpu.ops.metrics import viterbi_decode_soft
+    spec = NASA_K7
+    assert swar8_soft_supported(spec, 7)
+    rng = np.random.default_rng(17)
+    B, T = 2, 150
+    q = rng.choice(np.array([-7, 7], np.int32), size=(B, T, spec.n))
+    ref = np.stack([np.asarray(viterbi_decode_soft(spec, q[i]))
+                    for i in range(B)])
+    got = np.asarray(viterbi_decode_batch_soft(spec, q, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_soft16_path_matches_scan():
+    """A qmax that breaks the 8-bit bound must fall back to the SWAR-16
+    kernels and still match the scan (any-int8 exactness)."""
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
+    from convolutionalencdec_tpu.kernels.acs_swar import \
+        swar8_soft_supported
+    from convolutionalencdec_tpu.ops.metrics import viterbi_decode_soft
+    spec = NASA_K7
+    assert not swar8_soft_supported(spec, 31)
+    rng = np.random.default_rng(19)
+    B, T = 2, 122
+    q = rng.integers(-31, 32, size=(B, T, spec.n)).astype(np.int32)
+    ref = np.stack([np.asarray(viterbi_decode_soft(spec, q[i]))
+                    for i in range(B)])
+    got = np.asarray(viterbi_decode_batch_soft(spec, q, interpret=True,
+                                               qmax=31))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_soft_kernel_hard_llrs_match_hard_kernel():
     spec = NASA_K7
     from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
