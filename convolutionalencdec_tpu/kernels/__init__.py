@@ -9,6 +9,7 @@ from .acs_pallas import (
     viterbi_decode_batch,
     viterbi_decode_batch_soft,
     viterbi_decode_batch_bytes,
+    viterbi_decode_batch_soft_bytes,
     viterbi_decode_batch_generic,
     acs_forward_batch,
     acs_forward_batch_soft,
@@ -18,6 +19,7 @@ from .acs_pallas import (
     traceback_batch_fused_masked,
     traceback_batch,
     stream_decode_batch,
+    stream_decode_batch_soft,
     stream_state_init,
 )
 
@@ -25,6 +27,7 @@ __all__ = [
     "viterbi_decode_batch",
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
+    "viterbi_decode_batch_soft_bytes",
     "viterbi_decode_batch_generic",
     "acs_forward_batch",
     "acs_forward_batch_soft",
@@ -34,5 +37,6 @@ __all__ = [
     "traceback_batch_fused_masked",
     "traceback_batch",
     "stream_decode_batch",
+    "stream_decode_batch_soft",
     "stream_state_init",
 ]

@@ -1165,7 +1165,8 @@ def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
 STREAM_ABLATE = None
 
 
-def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
+def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int,
+                         soft: bool = False):
     NS = spec.num_states
     HALF = NS // 2
     Q4 = NS // 4
@@ -1181,8 +1182,10 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
 
     def kernel(w_ref, seg_ref, init_ref, out_ref, mo_ref, lo_out_ref,
                hi_out_ref, m_ref, lo_ref, hi_ref):
-        # w_ref:   (3*HALF, n+1) int8 MXU edge-metric weights
-        # seg_ref: (CHUNK_F, B) uint8 segments
+        # w_ref:   MXU edge-metric weights, int8 — hard (3*HALF, n+1);
+        #          soft (3*HALF + 1, 2n) (_em_weight_matrix_soft)
+        # seg_ref: hard (CHUNK_F, B) uint8 segments;
+        #          soft (n, CHUNK_F, B) int8 quantized LLRs
         # init_ref: (3, NS, B) int32 carried-state input (m, lo, hi)
         # out_ref: (CHUNK_F//PACK, 1, B) uint8 packed emitted symbols
         #          (bit j of group g = emit at step chunk*CHUNK_F+g*8+j)
@@ -1196,9 +1199,14 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
             lo_ref[:] = init_ref[1]
             hi_ref[:] = init_ref[2]
 
-        seg_all = seg_ref[:].astype(jnp.int32)
-        r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
-        ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
+        if soft:
+            q32 = seg_ref[:].astype(jnp.int32)     # (n, CHUNK_F, B)
+            c1 = jnp.maximum(q32, 0)               # cost if coded bit 1
+            c0 = jnp.maximum(-q32, 0)              # cost if coded bit 0
+        else:
+            seg_all = seg_ref[:].astype(jnp.int32)
+            r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
+            ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
         nF = jnp.asarray(n, CDT)
         one = jnp.asarray(1, CDT)
 
@@ -1248,10 +1256,18 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
         hi = hi_ref[:]
         mA = mB = loAB = hiAB = None
         for g in range(CHUNK_F // PACK):
-            Rg = jnp.concatenate(
-                [ones_row] + [r_planes[bit][g * PACK:(g + 1) * PACK]
-                              .reshape(1, PACK * B_TILE) for bit in range(n)],
-                axis=0).astype(jnp.int8)
+            if soft:
+                rows = [c1[bit, g * PACK:(g + 1) * PACK]
+                        .reshape(1, PACK * B_TILE) for bit in range(n)]
+                rows += [c0[bit, g * PACK:(g + 1) * PACK]
+                         .reshape(1, PACK * B_TILE) for bit in range(n)]
+                Rg = jnp.concatenate(rows, axis=0).astype(jnp.int8)
+            else:
+                Rg = jnp.concatenate(
+                    [ones_row] + [r_planes[bit][g * PACK:(g + 1) * PACK]
+                                  .reshape(1, PACK * B_TILE)
+                                  for bit in range(n)],
+                    axis=0).astype(jnp.int8)
             EM = jax.lax.dot_general(
                 w_ref[:], Rg, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -1261,7 +1277,12 @@ def _stream_kernel_fused(spec: CodeSpec, nt: int, W: int):
                 stage = t_row % 3
                 em_full = EM[stage * HALF:(stage + 1) * HALF,
                              j * B_TILE:(j + 1) * B_TILE]
-                emc_full = nF - em_full
+                if soft:
+                    q_row = EM[3 * HALF:3 * HALF + 1,
+                               j * B_TILE:(j + 1) * B_TILE]
+                    emc_full = q_row - em_full
+                else:
+                    emc_full = nF - em_full
                 if stage == 0:
                     ev, od, ge, go = acs_m(m[:HALF], m[HALF:],
                                            em_full, emc_full)
@@ -1449,6 +1470,74 @@ def stream_decode_batch(spec: CodeSpec, segments, state,
     return out[:, 0, :], jnp.stack([mo, lo, hi])
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def stream_decode_batch_soft(spec: CodeSpec, qllrs, state,
+                             traceback_len: int = 0,
+                             interpret: bool = False):
+    """Soft-decision streaming register-exchange decode of a chunk.
+
+    `stream_decode_batch` with quantized-LLR branch costs — the MXU soft
+    edge metrics (2n relu planes + Q row, _em_weight_matrix_soft) drop
+    into the same register-exchange kernel.  Bit-exact twin of
+    ops/viterbi.viterbi_decode_stream_soft's per-step emit.
+
+    Args:
+      qllrs: int8 [B, T, n] quantized LLRs; T % CHUNK_F == 0,
+        B % B_TILE == 0 (callers pad).
+      state: int32 [3, NS, B] carried (metrics, reg-lo, reg-hi) from
+        `stream_state_init` or a previous call.
+      traceback_len: W; 2 <= W <= 64 (decode delay).
+    Returns:
+      (emitted uint8 [T//PACK, B] packed symbols, new state) — same
+      conventions as `stream_decode_batch`.
+    """
+    spec.validate_for_butterfly()
+    NS = spec.num_states
+    if NS < 64:
+        raise ValueError("streaming kernel requires >= 64 states")
+    W = traceback_len or spec.traceback_len
+    if not 2 <= W <= 64:
+        raise ValueError(f"traceback_len {W} outside [2, 64]")
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, n = qllrs.shape
+    if T % CHUNK_F or B % B_TILE:
+        raise ValueError(f"padded shapes required: T={T} %{CHUNK_F}, "
+                         f"B={B} %{B_TILE}")
+    q_t = jnp.moveaxis(qllrs, -1, 0).transpose(0, 2, 1)   # (n, T, B)
+    nt = T // CHUNK_F
+    nb = B // B_TILE
+    Wm = jnp.asarray(_em_weight_matrix_soft(spec))
+    out, mo, lo, hi = pl.pallas_call(
+        _stream_kernel_fused(spec, nt, W, soft=True),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec(Wm.shape, lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, CHUNK_F, B_TILE),
+                               lambda b, t: (0, t, b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, NS, B_TILE), lambda b, t: (0, 0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((CHUNK_F // PACK, 1, B_TILE),
+                                lambda b, t: (t, 0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, B_TILE), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((T // PACK, 1, B), jnp.uint8),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32),
+                   jax.ShapeDtypeStruct((NS, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT),
+                        pltpu.VMEM((NS, B_TILE), CDT),
+                        pltpu.VMEM((NS, B_TILE), CDT)],
+        interpret=interpret,
+    )(Wm, q_t, jnp.asarray(state, jnp.int32))
+    return out[:, 0, :], jnp.stack([mo, lo, hi])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def viterbi_decode_batch_bytes(spec: CodeSpec, segments,
                                message_bits: int | None = None,
@@ -1473,6 +1562,45 @@ def viterbi_decode_batch_bytes(spec: CodeSpec, segments,
         return swar_decode_bytes(spec, seg_p, T, L, interpret)[:B]
     from ..ops.bits import pack_bits
     bits = viterbi_decode_batch(spec, segments, message_bits, interpret)
+    pad = (-bits.shape[-1]) % 8
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    return pack_bits(bits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def viterbi_decode_batch_soft_bytes(spec: CodeSpec, qllrs,
+                                    message_bits: int | None = None,
+                                    interpret: bool = False,
+                                    qmax: int | None = None):
+    """Soft-decision byte-level decode through the Pallas kernels.
+
+    Byte twin of `viterbi_decode_batch_soft` (MSb-first fill, zero-padded
+    trailing byte, viterbiDecoder.c:152-189 packed-output semantics).
+    On the SWAR paths the traceback emits reference-convention bytes
+    directly, mirroring the hard `viterbi_decode_batch_bytes` fast path.
+    Returns uint8 [B, ceil(L/8)].
+    """
+    spec.validate_for_butterfly()
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, n = qllrs.shape
+    L = message_bits if message_bits is not None else T - spec.S
+    if qmax is None:
+        from ..ops.metrics import DEFAULT_QMAX
+        qmax = DEFAULT_QMAX
+    from .acs_swar import (SWAR_TILE, SWAR_TILE16, swar8_soft_supported,
+                           swar_decode_bytes_soft, swar_decode_bytes_soft8,
+                           swar_supported)
+    if swar8_soft_supported(spec, qmax):
+        q_p = _pad_to(_pad_to(qllrs, SWAR_TILE, 0), CHUNK_F, 1)
+        return swar_decode_bytes_soft8(spec, q_p, T, L, qmax,
+                                       interpret)[:B]
+    if swar_supported(spec):
+        q_p = _pad_to(_pad_to(qllrs, SWAR_TILE16, 0), CHUNK_F, 1)
+        return swar_decode_bytes_soft(spec, q_p, T, L, interpret)[:B]
+    from ..ops.bits import pack_bits
+    bits = viterbi_decode_batch_soft(spec, qllrs, message_bits, interpret,
+                                     qmax)
     pad = (-bits.shape[-1]) % 8
     if pad:
         bits = jnp.pad(bits, ((0, 0), (0, pad)))

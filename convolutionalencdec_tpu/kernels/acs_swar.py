@@ -693,6 +693,21 @@ def swar_decode_packed(spec: CodeSpec, segments, t_actual: int,
     return _unpack_out(out32, B)
 
 
+def _bytes_epilogue(out32, B: int, L: int, wide: bool = False):
+    """Trim an msb_first traceback's packed byte rows to [B, ceil(L/8)]
+    decoded bytes (zero-masked trailing byte) — the shared tail of every
+    byte-output fast path."""
+    unpack = _unpack_out16 if wide else _unpack_out
+    nbytes = (L + 7) // 8
+    packed = unpack(out32, B)[:nbytes]         # (nbytes, B) u8
+    rem = L % 8
+    if rem:
+        mask = jnp.full((nbytes, 1), 0xFF, jnp.uint8)
+        mask = mask.at[-1, 0].set((0xFF << (8 - rem)) & 0xFF)
+        packed = packed & mask
+    return packed.T                            # (B, nbytes)
+
+
 def swar_decode_bytes(spec: CodeSpec, segments, t_actual: int, L: int,
                       interpret: bool = False):
     """[B, T] uint8 segments (pre-padded) -> [B, ceil(L/8)] uint8
@@ -707,14 +722,33 @@ def swar_decode_bytes(spec: CodeSpec, segments, t_actual: int, L: int,
     decs, _ = acs_forward_batch_swar(spec, seg_packed, interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
                                  msb_first=True)
-    nbytes = (L + 7) // 8
-    packed = _unpack_out(out32, B)[:nbytes]    # (nbytes, B) u8
-    rem = L % 8
-    if rem:
-        mask = jnp.full((nbytes, 1), 0xFF, jnp.uint8)
-        mask = mask.at[-1, 0].set((0xFF << (8 - rem)) & 0xFF)
-        packed = packed & mask
-    return packed.T                            # (B, nbytes)
+    return _bytes_epilogue(out32, B, L)
+
+
+def swar_decode_bytes_soft8(spec: CodeSpec, qllrs, t_actual: int, L: int,
+                            qmax: int, interpret: bool = False):
+    """Soft-decision byte decode via the SWAR-8 kernels: [B, T, n] int8
+    quantized LLRs (pre-padded) -> [B, ceil(L/8)] uint8 decoded bytes
+    (MSb-first fill, viterbiDecoder.c:152-189 semantics)."""
+    B, T, _ = qllrs.shape
+    cost_packed = _pack_qllrs8(qllrs, qmax)
+    decs = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
+                                        interpret)
+    out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
+                                 msb_first=True)
+    return _bytes_epilogue(out32, B, L)
+
+
+def swar_decode_bytes_soft(spec: CodeSpec, qllrs, t_actual: int, L: int,
+                           interpret: bool = False):
+    """Soft-decision byte decode via the SWAR-16 kernels (any int8
+    LLRs): [B, T, n] int8 -> [B, ceil(L/8)] uint8 decoded bytes."""
+    B, T, _ = qllrs.shape
+    cost_packed = _pack_qllrs(qllrs)
+    decs = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
+    out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
+                                 wide=True, msb_first=True)
+    return _bytes_epilogue(out32, B, L, wide=True)
 
 
 def _fwd_kernel_swar_soft(spec: CodeSpec):

@@ -116,6 +116,32 @@ def test_decode_batch_bytes_swar_fast_path():
     assert got.shape == (B, (L + 7) // 8)
 
 
+@pytest.mark.parametrize("qmax", [7, 31])
+def test_decode_batch_soft_bytes_fast_paths(qmax):
+    """Soft byte fast paths (SWAR-8 at qmax=7, SWAR-16 at qmax=31) must
+    equal pack_bits of the soft bit decode, incl. the partial tail."""
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_soft, viterbi_decode_batch_soft_bytes)
+    rng = np.random.default_rng(11)
+    B, L = 3, 93                        # L % 8 == 5: partial tail
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(NASA_K7, msgs)[0])
+    q = np.zeros((B, coded.shape[1], NASA_K7.n), np.int32)
+    for j in range(NASA_K7.n):
+        q[..., j] = 1 - 2 * ((coded >> j) & 1).astype(np.int32)
+    q *= rng.integers(1, qmax + 1, q.shape)
+    flip = rng.random(q.shape) < 0.04
+    q = np.where(flip, -q, q)
+    got = np.asarray(viterbi_decode_batch_soft_bytes(
+        NASA_K7, q, L, interpret=True, qmax=qmax))
+    bits = np.asarray(viterbi_decode_batch_soft(
+        NASA_K7, q, L, interpret=True, qmax=qmax))
+    want = np.stack([pack_bits_np(np.pad(bits[i], (0, (-L) % 8)))
+                     for i in range(B)])
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (B, (L + 7) // 8)
+
+
 def test_decode_bytes_matches_oracle():
     """Byte output against the independent C++ oracle."""
     from convolutionalencdec_tpu.native import oracle_decode
