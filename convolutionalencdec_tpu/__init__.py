@@ -20,6 +20,7 @@ from .ops.viterbi import (
     viterbi_decode_bytes,
     viterbi_decode,
     viterbi_decode_stream,
+    viterbi_decode_stream_soft,
     viterbi_forward,
     viterbi_forward_butterfly,
     traceback_terminated,
@@ -48,6 +49,7 @@ __all__ = [
     "viterbi_decode_bytes",
     "viterbi_decode",
     "viterbi_decode_stream",
+    "viterbi_decode_stream_soft",
     "viterbi_forward",
     "viterbi_forward_butterfly",
     "traceback_terminated",

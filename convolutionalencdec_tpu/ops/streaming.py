@@ -58,13 +58,29 @@ def decode_chunk(spec: CodeSpec, state: DecoderState, segments,
     is the decoded k-bit symbol for global step count+t-(W-1), valid where
     that index >= 0.
     """
+    bm_all = hard_step_metrics(spec, segments)
+    return _decode_chunk_from_bm(spec, state, bm_all, traceback_len)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def decode_chunk_soft(spec: CodeSpec, state: DecoderState, qllrs,
+                      traceback_len: int = 0):
+    """Soft-decision `decode_chunk`: quantized-LLR branch costs
+    (ops/metrics.soft_step_metrics) with the same streaming emit and
+    carried state.  `qllrs`: int [T', n]."""
+    from .metrics import soft_step_metrics
+    bm_all = soft_step_metrics(spec, qllrs)
+    return _decode_chunk_from_bm(spec, state, bm_all, traceback_len)
+
+
+def _decode_chunk_from_bm(spec: CodeSpec, state: DecoderState, bm_all,
+                          traceback_len: int):
     W = traceback_len or spec.traceback_len
     NS = spec.num_states
     E = spec.num_edges_per_state
     prev = jnp.asarray(prev_state_table(spec))
     u_of_dst = jnp.arange(NS, dtype=jnp.int32) & (E - 1)
     bm_idx = u_of_dst[None, :] * NS + prev
-    bm_all = hard_step_metrics(spec, segments)
 
     def step(carry, bm_t):
         m, reg = carry
@@ -134,9 +150,13 @@ class StreamingDecoder:
     steps are the last ones consumed.  Feeding further segments after the
     termination without `last=True` would stream the termination symbols
     out as data; `decode` guards this by requiring every `last=True` call
-    to consume at least one segment."""
+    to consume at least one segment.
+
+    With `soft=True`, chunks are quantized LLRs [T', n] instead of hard
+    segments (ops/metrics.soft_step_metrics branch costs)."""
     spec: CodeSpec
     traceback_len: int = 0
+    soft: bool = False
 
     def __post_init__(self):
         self.traceback_len = self.traceback_len or self.spec.traceback_len
@@ -145,14 +165,18 @@ class StreamingDecoder:
 
     def decode(self, segments, last: bool = False) -> np.ndarray:
         """Feed a chunk; returns the newly decoded message bits."""
-        segments = jnp.asarray(segments, jnp.uint8)
+        if self.soft:
+            segments = jnp.asarray(segments, jnp.int32)
+        else:
+            segments = jnp.asarray(segments, jnp.uint8)
         if last and segments.shape[0] == 0:
             raise ValueError(
                 "StreamingDecoder: the last=True chunk must contain the "
                 "packet's final segments (see class docstring); got an "
                 "empty chunk, so the termination steps were already "
                 "streamed and the flush accounting would be wrong.")
-        self._state, symbols, valid = decode_chunk(
+        chunk_fn = decode_chunk_soft if self.soft else decode_chunk
+        self._state, symbols, valid = chunk_fn(
             self.spec, self._state, segments, self.traceback_len)
         out = np.asarray(symbols)[np.asarray(valid)]
         if last:
@@ -223,12 +247,18 @@ class StreamingDecoderBatch:
 
     Same caller contract as StreamingDecoder: one packet per last=True
     cycle, whose final chunk ends at the packet's last segment.
+
+    With `soft=True`, chunks are quantized LLRs [B, T', n] instead of
+    hard segments [B, T']; the kernel path rides
+    kernels.stream_decode_batch_soft (MXU soft edge metrics in the same
+    register-exchange kernel).
     """
     spec: CodeSpec
     batch: int
     traceback_len: int = 0
     use_kernel: bool | None = None
     interpret: bool = False
+    soft: bool = False
 
     def __post_init__(self):
         self.traceback_len = self.traceback_len or self.spec.traceback_len
@@ -253,17 +283,22 @@ class StreamingDecoderBatch:
     def _decode_kernel(self, segments):
         """Aligned-prefix decode through the Pallas kernel."""
         from ..kernels.acs_pallas import (
-            stream_decode_batch, B_TILE, PACK)
-        B, T = segments.shape
+            stream_decode_batch, stream_decode_batch_soft, B_TILE, PACK)
+        B, T = segments.shape[:2]
         W = self.traceback_len
         Bp = -(-B // B_TILE) * B_TILE
         lo, hi = _registers_to_planes(self._registers)
         st = jnp.stack([self._metrics.T, lo, hi])
         if Bp != B:
             st = jnp.pad(st, ((0, 0), (0, 0), (0, Bp - B)))
-            segments = jnp.pad(segments, ((0, Bp - B), (0, 0)))
-        packed, st = stream_decode_batch(self.spec, segments, st, W,
-                                         self.interpret)
+            pad_b = [(0, Bp - B)] + [(0, 0)] * (segments.ndim - 1)
+            segments = jnp.pad(segments, pad_b)
+        if self.soft:
+            packed, st = stream_decode_batch_soft(
+                self.spec, segments, st, W, self.interpret)
+        else:
+            packed, st = stream_decode_batch(self.spec, segments, st, W,
+                                             self.interpret)
         j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
         sym = ((packed[:, None, :] >> j) & 1).reshape(T, Bp)[:, :B].T
         self._metrics = st[0, :, :B].T
@@ -274,11 +309,12 @@ class StreamingDecoderBatch:
     def _decode_scan(self, segments):
         """Ragged-tail decode via the per-channel scan path."""
         W = self.traceback_len
+        chunk_fn = decode_chunk_soft if self.soft else decode_chunk
         state = DecoderState(self._metrics, self._registers,
                              jnp.full((self.batch,), self._count,
                                       jnp.int32))
         new_state, symbols, _ = jax.vmap(
-            lambda m, r, c, s: decode_chunk(
+            lambda m, r, c, s: chunk_fn(
                 self.spec, DecoderState(m, r, c), s, W),
             in_axes=(0, 0, 0, 0), out_axes=(0, 0, 0))(
             state.metrics, state.registers, state.count,
@@ -291,8 +327,15 @@ class StreamingDecoderBatch:
         """Feed a chunk of [B, T'] segments; returns the newly decoded
         message bits [B, bits]."""
         from ..kernels.acs_pallas import CHUNK_F
-        segments = jnp.asarray(segments, jnp.uint8)
-        B, T = segments.shape
+        if self.soft:
+            segments = jnp.asarray(segments, jnp.int8)
+            if segments.ndim != 3 or segments.shape[-1] != self.spec.n:
+                raise ValueError(
+                    f"soft chunks are [B, T', n={self.spec.n}] LLRs; got "
+                    f"{segments.shape}")
+        else:
+            segments = jnp.asarray(segments, jnp.uint8)
+        B, T = segments.shape[:2]
         if B != self.batch:
             raise ValueError(f"batch {B} != {self.batch}")
         if last and T == 0:

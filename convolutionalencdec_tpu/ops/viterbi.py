@@ -237,15 +237,40 @@ def viterbi_decode_stream(spec: CodeSpec, segments, traceback_len: int = 0):
 
     Requires T >= traceback_len.  Returns uint8 [(T - S) * k] decoded bits.
     """
+    segments = jnp.asarray(segments)
+    bm_all = hard_step_metrics(spec, segments)
+    return _decode_stream_from_bm(spec, bm_all, traceback_len)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def viterbi_decode_stream_soft(spec: CodeSpec, qllrs,
+                               traceback_len: int = 0):
+    """Soft-decision streaming sliding-window decode.
+
+    `viterbi_decode_stream` with quantized-LLR branch costs
+    (ops/metrics.soft_step_metrics) in place of Hamming metrics — the
+    same per-step argmin emit and state-0 flush.  Hard ±1 pseudo-LLRs
+    decode identically to the hard streaming decoder.
+
+    Args:
+      qllrs: int [T, n] quantized LLRs.
+    Returns uint8 [(T - S) * k] decoded bits.
+    """
+    from .metrics import soft_step_metrics
+    bm_all = soft_step_metrics(spec, qllrs)
+    return _decode_stream_from_bm(spec, bm_all, traceback_len)
+
+
+def _decode_stream_from_bm(spec: CodeSpec, bm_all, traceback_len: int):
+    """Shared streaming register-exchange core over per-step branch
+    metrics bm_all int32 [T, 2^k, NS]."""
     W = traceback_len or spec.traceback_len
     NS = spec.num_states
     E = spec.num_edges_per_state
-    segments = jnp.asarray(segments)
-    T = segments.shape[-1]
+    T = bm_all.shape[0]
     if T < W:
         raise ValueError(f"packet of {T} segments shorter than traceback {W}")
 
-    bm_all = hard_step_metrics(spec, segments)
     prev = jnp.asarray(prev_state_table(spec))
     u_of_dst = jnp.arange(NS, dtype=jnp.int32) & (E - 1)
     bm_idx = u_of_dst[None, :] * NS + prev

@@ -86,6 +86,84 @@ def test_streaming_batch_kernel_matches_scan_stream():
     assert (got != msgs).mean() < 5e-2
 
 
+def test_stream_soft_scan_matches_hard_on_pseudo_llrs():
+    """viterbi_decode_stream_soft on ±1 pseudo-LLRs must equal the hard
+    streaming decoder (the soft cost reduces to Hamming), and scaled
+    LLRs must decode the message."""
+    from convolutionalencdec_tpu.ops.viterbi import (
+        viterbi_decode_stream, viterbi_decode_stream_soft)
+    spec = NASA_K7
+    rng = np.random.default_rng(31)
+    L = 200
+    bits = rng.integers(0, 2, L, dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, bits)[0]).copy()
+    flip = rng.random(coded.shape) < 0.03
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    q = np.zeros((coded.shape[0], spec.n), np.int32)
+    for j in range(spec.n):
+        q[:, j] = 1 - 2 * ((coded >> j) & 1).astype(np.int32)
+    hard = np.asarray(viterbi_decode_stream(spec, coded))
+    soft = np.asarray(viterbi_decode_stream_soft(spec, q))
+    np.testing.assert_array_equal(hard, soft)
+    soft5 = np.asarray(viterbi_decode_stream_soft(spec, q * 5))
+    np.testing.assert_array_equal(soft5, bits)
+
+
+def test_streaming_batch_soft_kernel_matches_scan_stream():
+    """Soft StreamingDecoderBatch (stream_decode_batch_soft kernel +
+    soft scan tail) is bit-identical to per-packet
+    viterbi_decode_stream_soft across ragged chunk seams."""
+    from convolutionalencdec_tpu.ops.streaming import StreamingDecoderBatch
+    from convolutionalencdec_tpu.ops.viterbi import viterbi_decode_stream_soft
+    spec = NASA_K7
+    rng = np.random.default_rng(37)
+    B, L = 8, 250                    # T = 256
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0])
+    q = np.zeros((B, coded.shape[1], spec.n), np.int8)
+    for j in range(spec.n):
+        q[..., j] = 1 - 2 * ((coded >> j) & 1).astype(np.int8)
+    q = (q * rng.integers(1, 8, q.shape)).astype(np.int8)
+    flip = rng.random(q.shape) < 0.04
+    q = np.where(flip, -q, q).astype(np.int8)
+    q[rng.random(q.shape) < 0.02] = 0          # erasures
+
+    dec = StreamingDecoderBatch(spec, batch=B, use_kernel=True,
+                                interpret=True, soft=True)
+    cuts = [96, 149, coded.shape[1]]
+    out, prev = [], 0
+    for c in cuts:
+        out.append(dec.decode(q[:, prev:c], last=(c == cuts[-1])))
+        prev = c
+    got = np.concatenate(out, axis=1)
+    want = np.stack([np.asarray(viterbi_decode_stream_soft(spec, q[b]))
+                     for b in range(B)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_decoder_soft_single_channel():
+    """Single-channel soft StreamingDecoder across ragged seams equals
+    the one-shot soft streaming scan."""
+    from convolutionalencdec_tpu.ops.streaming import StreamingDecoder
+    from convolutionalencdec_tpu.ops.viterbi import viterbi_decode_stream_soft
+    spec = NASA_K7
+    rng = np.random.default_rng(41)
+    L = 180
+    bits = rng.integers(0, 2, L, dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, bits)[0])
+    q = np.zeros((coded.shape[0], spec.n), np.int32)
+    for j in range(spec.n):
+        q[:, j] = (1 - 2 * ((coded >> j) & 1).astype(np.int32)) * 3
+    dec = StreamingDecoder(spec, soft=True)
+    outs, prev = [], 0
+    for c in [53, 121, q.shape[0]]:
+        outs.append(dec.decode(q[prev:c], last=(c == q.shape[0])))
+        prev = c
+    got = np.concatenate(outs)
+    want = np.asarray(viterbi_decode_stream_soft(spec, q))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_streaming_batch_kernel_single_plane_w32():
     """W <= 32 uses the single-register-plane fast path; still bit-exact
     vs the scan streaming decoder at the same window."""
