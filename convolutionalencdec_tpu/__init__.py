@@ -29,7 +29,12 @@ from .ops.metrics import (
     quantize_llrs,
     viterbi_decode_soft,
 )
-from .ops import channel, metrics, puncture, streaming
+from .ops.maxlogmap import (
+    maxlogmap_decode,
+    maxlogmap_llrs,
+    maxlogmap_llrs_batch,
+)
+from .ops import channel, maxlogmap, metrics, puncture, streaming
 
 # Subpackages imported lazily by most callers; exposed for discoverability.
 from . import kernels, parallel, harness
@@ -55,6 +60,9 @@ __all__ = [
     "traceback_terminated",
     "viterbi_decode_soft",
     "quantize_llrs",
+    "maxlogmap_llrs",
+    "maxlogmap_llrs_batch",
+    "maxlogmap_decode",
     "channel",
     "metrics",
     "puncture",

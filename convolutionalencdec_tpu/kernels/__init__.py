@@ -5,6 +5,7 @@ hot loops (viterbiDecoderButterflyk1.c): the batched butterfly ACS forward
 pass and the one-hot select-network traceback.
 """
 
+from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel
 from .acs_pallas import (
     viterbi_decode_batch,
     viterbi_decode_batch_soft,
@@ -24,6 +25,7 @@ from .acs_pallas import (
 )
 
 __all__ = [
+    "maxlogmap_llrs_batch_kernel",
     "viterbi_decode_batch",
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
