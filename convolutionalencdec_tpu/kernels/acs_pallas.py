@@ -1627,8 +1627,12 @@ CHUNK_G = 32   # generic-kernel steps per program (multiple of PACK)
 
 
 def _em_weight_matrix_generic(spec: CodeSpec) -> np.ndarray:
-    """[E*NS, n+1] int8 MXU weights, rows ordered (u, e, s):
-    em = #set(cb) + sum_j (1-2*cb_j)*r_j for cb = code(src = s + e*C, u)."""
+    """[E*NS, n+1] int8 MXU weights, rows ordered (u, e, s), PRE-SCALED
+    for key-packed argmin: row (u,e,s) yields em*E + e where
+    em = #set(cb) + sum_j (1-2*cb_j)*r_j for cb = code(src = s + e*C, u).
+    The kernel carries metrics scaled by E, so each ACS candidate is one
+    add and the E-way argmin is a plain jnp.minimum chain whose low k
+    bits are the decision (lowest e wins ties, = the scan's argmin)."""
     from ..ops.encode import encode_one_input
     NS = spec.num_states
     E = spec.num_edges_per_state
@@ -1642,8 +1646,8 @@ def _em_weight_matrix_generic(spec: CodeSpec) -> np.ndarray:
                 seg, _ = encode_one_input(spec, src, u)
                 planes = [(seg >> j) & 1 for j in range(n)]
                 r = u * E * C + e * C + s
-                rows[r, 0] = sum(planes)
-                rows[r, 1:] = [1 - 2 * p for p in planes]
+                rows[r, 0] = sum(planes) * E + e
+                rows[r, 1:] = [(1 - 2 * p) * E for p in planes]
     return rows.astype(np.int8)
 
 
@@ -1657,21 +1661,30 @@ def _fwd_kernel_generic(spec: CodeSpec, nt: int):
 
     def kernel(w_ref, seg_ref, dec_ref, m_ref):
         # w_ref: (E*NS, n+1) int8; seg_ref: (CHUNK_G, B) uint8
-        # dec_ref: (CHUNK_G, NS, B) uint8 decisions, rows in (u, s) order
+        # dec_ref: (1, k, NS, B) int32 packed decisions, rows in (u, s)
+        #   order: bit j of plane b = bit b of the e-index chosen at
+        #   chunk step j (CHUNK_G = 32 steps per int32 word keeps the
+        #   reference's 1-bit-per-state-per-step decision economy,
+        #   viterbiDecoder.h:139-145, for any k)
         # m_ref: (NS, B) int32 scratch, natural order
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
         def _():
+            # Metrics are carried pre-scaled by E (see
+            # _em_weight_matrix_generic's key packing).
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
-                                 0, init_hi).astype(CDT)
+                                 0, init_hi * E).astype(CDT)
 
         seg_all = seg_ref[:].astype(jnp.int32)
         r_planes = [(seg_all >> bit) & 1 for bit in range(n)]
         ones_row = jnp.ones((1, PACK * B_TILE), jnp.int32)
 
         m = m_ref[:]
+        # acc[b][u]: (C, B) int32 — decision bit-b plane of u-block u.
+        acc = [[jnp.zeros((C, B_TILE), CDT) for _ in range(E)]
+               for _ in range(k)]
         for g in range(CHUNK_G // PACK):
             Rg = jnp.concatenate(
                 [ones_row] + [r_planes[bit][g * PACK:(g + 1) * PACK]
@@ -1684,30 +1697,34 @@ def _fwd_kernel_generic(spec: CodeSpec, nt: int):
                 t_row = g * PACK + j
                 blocks = []
                 for u in range(E):
-                    # Index-tracking tournament over the E candidates
-                    # (lowest e wins ties, = jnp.argmin in the scan).
-                    cands = []
+                    # Key-packed argmin over the E candidates: metrics
+                    # are pre-scaled by E and the weights add e, so key
+                    # = (m+em)*E + e costs one add per candidate and the
+                    # E-way tournament is a plain full-rate jnp.minimum
+                    # chain with the exact lowest-e-wins-ties order of
+                    # the scan's jnp.argmin.
+                    key = None
                     for e in range(E):
                         em = EM[(u * E + e) * C:(u * E + e + 1) * C,
                                 j * B_TILE:(j + 1) * B_TILE]
-                        cands.append((m[e * C:(e + 1) * C] + em,
-                                      jnp.full((C, B_TILE), e, CDT)))
-                    while len(cands) > 1:
-                        nxt = []
-                        for a in range(0, len(cands), 2):
-                            (c0, i0), (c1, i1) = cands[a], cands[a + 1]
-                            lt = c1 < c0
-                            nxt.append((jnp.where(lt, c1, c0),
-                                        jnp.where(lt, i1, i0)))
-                        cands = nxt
-                    best, idx = cands[0]
-                    dec_ref[t_row, u * C:(u + 1) * C, :] = \
-                        idx.astype(jnp.uint8)
-                    blocks.append(best)
-                # (u, s) blocks -> natural: state s*E + u.
+                        ke = m[e * C:(e + 1) * C] + em
+                        key = ke if key is None else jnp.minimum(key, ke)
+                    idx = key & (E - 1)
+                    for b in range(k):
+                        bit = (idx >> b) & 1 if b else idx & 1
+                        acc[b][u] = acc[b][u] + (bit << t_row)
+                    blocks.append(key & ~(E - 1))   # back to scaled metric
+                # (u, s) blocks -> natural: state s*E + u.  This
+                # per-step interleave is ~70% of the kernel (measured;
+                # an in-kernel MXU permutation matmul is serialized by
+                # the time recurrence and saves only ~9%) — the fused
+                # binary-stage kernels in this file's k=2 path avoid it.
                 m = jnp.stack(blocks, axis=1).reshape(NS, B_TILE)
             mn = jnp.min(m, axis=0, keepdims=True)
             m = m - mn
+        for b in range(k):
+            for u in range(E):
+                dec_ref[0, b, u * C:(u + 1) * C, :] = acc[b][u]
         m_ref[:] = m
 
     return kernel
@@ -1717,17 +1734,19 @@ def _tb_kernel_generic(spec: CodeSpec, nt: int):
     NS = spec.num_states
     E = spec.num_edges_per_state
     C = NS // E
+    k = spec.k
 
-    def kernel(tmask_ref, dec_ref, out_ref, h_ref):
-        # tmask_ref: (T, 1) int32 SMEM (whole array) — 1 for live steps,
-        #   0 for the padded tail; masked steps have decision 0 and the
-        #   walk rests at state 0 (its e=0 predecessor is itself).
-        # dec_ref: (CHUNK_G, NS, B) uint8 decisions in (u, s) row order
+    def kernel(wmask_ref, dec_ref, out_ref, h_ref):
+        # wmask_ref: (nt, 1) int32 SMEM — per-chunk live-step bitmask
+        #   (bit j = chunk step j < t_actual); masked steps have decision
+        #   0 and the walk rests at state 0 (its e=0 predecessor is
+        #   itself).
+        # dec_ref: (1, k, NS, B) int32 packed decisions in (u, s) row
+        #   order (bit j of plane b = e-index bit b at chunk step j)
         # out_ref: (CHUNK_G, 1, B) uint8 emitted symbols (u of the state)
         # h_ref: (NS, B) int32 one-hot walk state, natural order
         i = pl.program_id(1)
         nt_total = pl.num_programs(1)
-        tbase = (nt_total - 1 - i) * CHUNK_G
 
         s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, B_TILE), 0)
 
@@ -1735,38 +1754,44 @@ def _tb_kernel_generic(spec: CodeSpec, nt: int):
         def _():
             h_ref[:] = jnp.where(s_idx == 0, 1, 0).astype(CDT)
 
-        zf = jnp.asarray(0, CDT)
+        wm = wmask_ref[nt_total - 1 - i, 0]
+        # Per-plane e-index bit words of each u-block, live steps only.
+        planes = [[dec_ref[0, b, u * C:(u + 1) * C, :] & wm
+                   for u in range(E)] for b in range(k)]
         h = h_ref[:]
-        for g in range(CHUNK_G // PACK - 1, -1, -1):
-            syms = []
-            for j in range(PACK - 1, -1, -1):
-                t_row = g * PACK + j
-                tm = tmask_ref[tbase + t_row, 0]
-                dec32 = dec_ref[t_row].astype(jnp.int32) * tm
-                # natural -> (u, s) blocks: ublk[u] = h[s*E + u].
-                hub = h.reshape(C, E, B_TILE).transpose(1, 0, 2)
-                ublk = [hub[u] for u in range(E)]
-                db = [dec32[u * C:(u + 1) * C] for u in range(E)]
-                # Emitted symbol = u where the one-hot mass sits.
-                w = ublk[1]
-                for u in range(2, E):
-                    w = w + ublk[u] * u
-                syms.append(w)
-                # Select network: pred = s + e*C, so edge-e contributions
-                # from every u-block land in the contiguous chunk e.
-                accs = []
-                for e in range(E):
-                    a = jnp.where(db[0] == e, ublk[0], zf)
-                    for u in range(1, E):
-                        a = a + jnp.where(db[u] == e, ublk[u], zf)
-                    accs.append(a)
-                h = jnp.concatenate(accs, axis=0)       # natural order
-            # syms collected newest-first: restore time order and reduce
-            # each step's (C, B) mass to its symbol row once per group.
-            ws = jnp.stack(syms[::-1], axis=0)          # (8, C, B)
-            srow = jnp.sum(ws, axis=1)                  # (8, B)
-            out_ref[g * PACK:(g + 1) * PACK, 0, :] = \
-                srow.astype(jnp.uint8)
+        syms = []
+        for j in range(CHUNK_G - 1, -1, -1):
+            # natural -> (u, s) blocks: ublk[u] = h[s*E + u].
+            hub = h.reshape(C, E, B_TILE).transpose(1, 0, 2)
+            ublk = [hub[u] for u in range(E)]
+            # Emitted symbol = u where the one-hot mass sits.
+            w = ublk[1]
+            for u in range(2, E):
+                w = w + ublk[u] * u
+            syms.append(w)
+            # Decision bits at step j, and their complements (0/1 ints —
+            # the select network below is pure full-rate AND/ADD).
+            bits = [[(planes[b][u] >> j) & 1 for u in range(E)]
+                    for b in range(k)]
+            nbits = [[bits[b][u] ^ 1 for u in range(E)] for b in range(k)]
+            # Select network: pred = s + e*C, so edge-e contributions
+            # from every u-block land in the contiguous chunk e.
+            accs = []
+            for e in range(E):
+                a = None
+                for u in range(E):
+                    m_eu = bits[0][u] if e & 1 else nbits[0][u]
+                    for b in range(1, k):
+                        m_eu = m_eu & (bits[b][u] if (e >> b) & 1
+                                       else nbits[b][u])
+                    c = ublk[u] & m_eu
+                    a = c if a is None else a + c
+                accs.append(a)
+            h = jnp.concatenate(accs, axis=0)           # natural order
+        # syms collected newest-first: restore time order and reduce
+        # each step's (C, B) mass to its symbol row in one deferred pass.
+        ws = jnp.stack(syms[::-1], axis=0)              # (CHUNK_G, C, B)
+        out_ref[:, 0, :] = jnp.sum(ws, axis=1).astype(jnp.uint8)
         h_ref[:] = h
 
     return kernel
@@ -1776,8 +1801,9 @@ def _tb_kernel_generic(spec: CodeSpec, nt: int):
 def acs_forward_batch_generic(spec: CodeSpec, segments,
                               interpret: bool = False):
     """Generic-k forward ACS.  segments uint8 [B, T] (T % CHUNK_G == 0,
-    B % B_TILE == 0).  Returns decisions uint8 [T, NS, B] in (u, s) row
-    order (consumed by `traceback_batch_generic`)."""
+    B % B_TILE == 0).  Returns packed decisions int32 [T//CHUNK_G, k,
+    NS, B] in (u, s) row order — bit j of plane b = bit b of the
+    e-index at chunk step j (consumed by `traceback_batch_generic`)."""
     NS = spec.num_states
     segments = jnp.asarray(segments, jnp.uint8)
     B, T = segments.shape
@@ -1795,10 +1821,10 @@ def acs_forward_batch_generic(spec: CodeSpec, segments,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((CHUNK_G, B_TILE), lambda b, t: (t, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CHUNK_G, NS, B_TILE),
-                               lambda b, t: (t, 0, b),
+        out_specs=pl.BlockSpec((1, spec.k, NS, B_TILE),
+                               lambda b, t: (t, 0, 0, b),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, NS, B), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((nt, spec.k, NS, B), jnp.int32),
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
     )(W, seg_t)
@@ -1807,25 +1833,30 @@ def acs_forward_batch_generic(spec: CodeSpec, segments,
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def traceback_batch_generic(spec: CodeSpec, decisions, t_actual: int,
                             interpret: bool = False):
-    """Generic-k traceback.  Returns uint8 [T, B] k-bit symbols."""
+    """Generic-k traceback over packed decisions [nt, k, NS, B] int32.
+    Returns uint8 [T, B] k-bit symbols."""
     NS = spec.num_states
-    decisions = jnp.asarray(decisions, jnp.uint8)
-    T, NS_, B = decisions.shape
-    assert NS_ == NS
-    nt = T // CHUNK_G
+    decisions = jnp.asarray(decisions, jnp.int32)
+    nt, k_, NS_, B = decisions.shape
+    assert NS_ == NS and k_ == spec.k
+    T = nt * CHUNK_G
     nb = B // B_TILE
     if not 0 < t_actual <= T:
         raise ValueError(f"t_actual={t_actual} outside (0, {T}]")
-    tmask = np.zeros((T, 1), np.int32)
-    tmask[:t_actual] = 1
+    # Per-chunk live-step bitmasks (bit j = global step w*CHUNK_G + j
+    # is live); masked steps read decision 0.
+    steps = np.arange(T, dtype=np.uint64).reshape(nt, CHUNK_G)
+    wmask = ((steps < t_actual).astype(np.uint64)
+             << np.arange(CHUNK_G, dtype=np.uint64)[None, :]).sum(axis=1)
+    wmask = wmask.astype(np.uint32).view(np.int32).reshape(nt, 1)
     out = pl.pallas_call(
         _tb_kernel_generic(spec, nt),
         grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((T, 1), lambda b, t: (0, 0),
+            pl.BlockSpec((nt, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK_G, NS, B_TILE),
-                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+            pl.BlockSpec((1, spec.k, NS, B_TILE),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CHUNK_G, 1, B_TILE),
@@ -1834,7 +1865,7 @@ def traceback_batch_generic(spec: CodeSpec, decisions, t_actual: int,
         out_shape=jax.ShapeDtypeStruct((T, 1, B), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(jnp.asarray(tmask), decisions)
+    )(jnp.asarray(wmask), decisions)
     return out[:, 0, :]
 
 
