@@ -6,6 +6,7 @@ pass and the one-hot select-network traceback.
 """
 
 from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel
+from .acs_k2 import viterbi_decode_batch_k2
 from .acs_pallas import (
     viterbi_decode_batch,
     viterbi_decode_batch_soft,
@@ -27,6 +28,7 @@ from .acs_pallas import (
 __all__ = [
     "maxlogmap_llrs_batch_kernel",
     "viterbi_decode_batch",
+    "viterbi_decode_batch_k2",
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
     "viterbi_decode_batch_soft_bytes",

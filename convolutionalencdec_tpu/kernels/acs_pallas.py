@@ -334,10 +334,11 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
     ~raw-VPU speed.  Bit-identical to the scan reference decoder.
 
     Any code decodes: k=1 poly-symmetric codes ride the butterfly
-    kernels (fused 3-stage for NS >= 64); everything else — k > 1 or
-    asymmetric generators — dispatches to the generic 2^k-way kernels
-    (the runtime twin of the reference's VITERBI_DECODER_HARD dispatch,
-    viterbiDecoder.h:87-95).
+    kernels (fused 3-stage for NS >= 64); k=2 64-state codes ride the
+    fused binary-stage kernels (kernels/acs_k2.py); everything else —
+    other k > 1 shapes or asymmetric generators — dispatches to the
+    generic 2^k-way kernels (the runtime twin of the reference's
+    VITERBI_DECODER_HARD dispatch, viterbiDecoder.h:87-95).
 
     Args:
       segments: uint8 [B, T] hard segments, T = L/k + S.
@@ -346,6 +347,10 @@ def viterbi_decode_batch(spec: CodeSpec, segments, message_bits: int | None = No
       uint8 [B, L] decoded message bits.
     """
     if not (spec.k == 1 and spec.has_poly_symmetry):
+        from .acs_k2 import k2_supported, viterbi_decode_batch_k2
+        if k2_supported(spec):
+            return viterbi_decode_batch_k2(spec, segments, message_bits,
+                                           interpret)
         return viterbi_decode_batch_generic(spec, segments, message_bits,
                                             interpret)
     segments = jnp.asarray(segments, jnp.uint8)

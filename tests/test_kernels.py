@@ -181,3 +181,28 @@ def test_generic_kernel_asymmetric_k1():
     want = np.stack([np.asarray(viterbi_decode(spec, coded[b]))
                      for b in range(B)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_k2_fused_kernel_matches_scan():
+    """A k=2 64-state code dispatches to the fused binary-stage kernels
+    (kernels/acs_k2.py) and matches the scan decoder bit-for-bit,
+    including on tie-heavy garbage input (the nested alpha/beta min's
+    key packing must reproduce argmin's lowest-e tie order)."""
+    from convolutionalencdec_tpu.params import CodeSpec
+    from convolutionalencdec_tpu.ops.encode import encode_bits
+    from convolutionalencdec_tpu.kernels.acs_k2 import k2_supported
+    spec = CodeSpec(K=4, k=2, g=(0o64, 0o52, 0o71))
+    assert k2_supported(spec)
+    rng = np.random.default_rng(73)
+    B, L = 4, 2 * 70
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    clean = np.asarray(encode_bits(spec, msgs)[0]).copy()
+    noisy = clean.copy()
+    flip = rng.random(noisy.shape) < 0.05
+    noisy ^= (flip * rng.integers(1, 8, noisy.shape)).astype(np.uint8)
+    garbage = rng.integers(0, 8, clean.shape, dtype=np.uint8)
+    for coded in (noisy, garbage):
+        got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+        want = np.stack([np.asarray(viterbi_decode(spec, coded[b]))
+                         for b in range(B)])
+        np.testing.assert_array_equal(got, want)
