@@ -10,6 +10,7 @@ from .params import (
     CodeSpec,
     K5_23_35,
     K9_561_753,
+    LTE_TBCC_K7,
     NASA_K7,
     NASA_K7_R13,
     REF_K7,
@@ -34,7 +35,13 @@ from .ops.maxlogmap import (
     maxlogmap_llrs,
     maxlogmap_llrs_batch,
 )
-from .ops import channel, maxlogmap, metrics, puncture, streaming
+from .ops.tailbiting import (
+    encode_tailbiting,
+    viterbi_decode_tailbiting,
+    viterbi_decode_tailbiting_exact,
+    viterbi_decode_tailbiting_soft,
+)
+from .ops import channel, maxlogmap, metrics, puncture, streaming, tailbiting
 
 # Subpackages imported lazily by most callers; exposed for discoverability.
 from . import kernels, parallel, harness
@@ -49,6 +56,7 @@ __all__ = [
     "TOY_K3",
     "K5_23_35",
     "K9_561_753",
+    "LTE_TBCC_K7",
     "encode_bits",
     "encode_bytes",
     "viterbi_decode_bytes",
@@ -63,6 +71,11 @@ __all__ = [
     "maxlogmap_llrs",
     "maxlogmap_llrs_batch",
     "maxlogmap_decode",
+    "encode_tailbiting",
+    "viterbi_decode_tailbiting",
+    "viterbi_decode_tailbiting_exact",
+    "viterbi_decode_tailbiting_soft",
+    "tailbiting",
     "channel",
     "metrics",
     "puncture",

@@ -7,6 +7,7 @@ pass and the one-hot select-network traceback.
 
 from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel
 from .acs_k2 import viterbi_decode_batch_k2
+from .tailbiting import viterbi_decode_batch_tailbiting
 from .acs_pallas import (
     viterbi_decode_batch,
     viterbi_decode_batch_soft,
@@ -29,6 +30,7 @@ __all__ = [
     "maxlogmap_llrs_batch_kernel",
     "viterbi_decode_batch",
     "viterbi_decode_batch_k2",
+    "viterbi_decode_batch_tailbiting",
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
     "viterbi_decode_batch_soft_bytes",

@@ -1,0 +1,103 @@
+"""Kernel-speed tail-biting decode: circular overlap-save on the fused
+Pallas kernels.
+
+The batched twin of `ops.tailbiting.viterbi_decode_tailbiting`: extend
+each packet circularly (the wrap segments are real observations — the
+packet's own tail and head), run the fused forward ACS from a uniform
+metric start (`init_chunk=-1`), and traceback from one-hot(argmin(final
+metrics)) with every decision step live.  This is exactly the interior-
+block machinery of the time-sharded decoder (parallel/sharding.py),
+with the halos coming from the packet itself instead of a neighbor
+device — so tail-biting decode runs at headline block-decode speed
+(SWAR kernels when supported, fused int32 otherwise).
+
+Same truncation argument as the reference's finite traceback
+(viterbiDecoder.c:53-74), applied around the circle.  k=1
+poly-symmetric codes with NS >= 64 only; other codes use the scan
+decoder in ops/tailbiting.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import CodeSpec
+from ..ops.tailbiting import circular_extend, default_wrap
+from . import acs_swar
+from .acs_pallas import (B_TILE, CHUNK_F, PACK, _pad_to,
+                         acs_forward_batch_fused,
+                         traceback_batch_fused_masked)
+
+
+def kernel_wraps(spec: CodeSpec, T: int, wrap: int | None = None) -> tuple[int, int]:
+    """(wl, wr) used by the kernel path: `wrap` steps each side, with the
+    right wrap stretched so the extended length is a CHUNK_F multiple —
+    extra wrap steps are free accuracy, never padding."""
+    wl = default_wrap(spec) if wrap is None else int(wrap)
+    wr = wl + (-(T + 2 * wl) % CHUNK_F)
+    return wl, wr
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_batch_tailbiting(spec: CodeSpec, segments,
+                                    wrap: int | None = None,
+                                    interpret: bool = False):
+    """Batched hard-decision tail-biting decode through the fused kernels.
+
+    Args:
+      segments: uint8 [B, T] hard n-bit segments of tail-biting packets
+        (T = L trellis steps for k=1 — no termination overhead).
+      wrap: circular wrap length in trellis steps (default
+        `ops.tailbiting.default_wrap`; the right wrap is stretched to a
+        chunk boundary, see `kernel_wraps`).
+    Returns:
+      uint8 [B, T] decoded message bits.
+
+    Bit-exact vs `ops.tailbiting.viterbi_decode_tailbiting` with
+    `wrap=kernel_wraps(spec, T, wrap)` wherever survivor paths merge
+    within the wrap (in-spec channels; the scan and kernel paths share
+    tie conventions end to end).
+    """
+    spec.validate_for_butterfly()
+    if spec.num_states < 64:
+        raise ValueError("kernel tail-biting decode requires NS >= 64; "
+                         "use ops.tailbiting.viterbi_decode_tailbiting")
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    wl, wr = kernel_wraps(spec, T, wrap)
+    ext = circular_extend(segments, wl, wr, axis=-1)
+    Te = ext.shape[1]
+    NS = spec.num_states
+    TG = Te // PACK
+    gmask = jnp.full((TG, 1), 0xFF, jnp.int32)   # every step live
+    s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
+
+    if acs_swar.swar_supported(spec):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
+        Bp = ext_p.shape[0]
+        seg_packed = acs_swar._pack_channels(ext_p)
+        decs, fmp = acs_swar.acs_forward_batch_swar(
+            spec, seg_packed, interpret, init_chunk=-1)
+        fm = acs_swar.unpack_fields(fmp, Bp)         # (NS, Bp)
+        am = jnp.argmin(fm, axis=0)                  # ties -> lowest state
+        h_init = acs_swar.pack_fields(
+            (s_iota == am[None, :]).astype(jnp.int32))
+        out32 = acs_swar.traceback_batch_swar_masked(
+            spec, decs, gmask, h_init, interpret)
+        packed = acs_swar._unpack_out(out32, Bp)     # (TG, Bp)
+    else:
+        ext_p = _pad_to(ext, B_TILE, 0)
+        Bp = ext_p.shape[0]
+        decs, fm = acs_forward_batch_fused(spec, ext_p, interpret,
+                                           init_chunk=-1)
+        am = jnp.argmin(fm, axis=0)
+        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
+        packed = traceback_batch_fused_masked(spec, decs, gmask, h_init,
+                                              interpret)
+
+    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
+    bits = ((packed[:, None, :] >> j) & 1).reshape(Te, Bp)
+    return bits[wl:wl + T, :B].T

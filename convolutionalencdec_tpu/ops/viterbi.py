@@ -75,7 +75,8 @@ def hard_step_metrics(spec: CodeSpec, segments) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
-def viterbi_forward(spec: CodeSpec, step_metrics, collect_metrics: bool = False):
+def viterbi_forward(spec: CodeSpec, step_metrics, collect_metrics: bool = False,
+                    initial_metrics=None):
     """Run the ACS (add-compare-select) recurrence over the trellis.
 
     Args:
@@ -86,6 +87,11 @@ def viterbi_forward(spec: CodeSpec, step_metrics, collect_metrics: bool = False)
         decision -> quantized LLR costs (ops/metrics.py).
       collect_metrics: also return the [T, num_states] path-metric history
         (for white-box tests mirroring handTraced.c:72-115).
+      initial_metrics: optional int32 [num_states] starting path metrics.
+        Default is the reference's known-start seeding (0 at starting_state,
+        forceNot elsewhere, viterbiDecoder.c:246-249); a uniform vector
+        (zeros) gives the truncation-decode start used by time-block
+        sharding and tail-biting wrap decoding.
 
     Returns:
       (decisions, final_metrics[, metric_history]) where decisions is uint8
@@ -99,8 +105,11 @@ def viterbi_forward(spec: CodeSpec, step_metrics, collect_metrics: bool = False)
     # Flat index into step_metrics[t] for (u_of_dst[d], prev[e, d]).
     bm_idx = u_of_dst[None, :] * NS + prev               # [E, NS]
 
-    init = jnp.full((NS,), init_metric_value(spec), dtype=jnp.int32)
-    init = init.at[spec.starting_state].set(0)
+    if initial_metrics is None:
+        init = jnp.full((NS,), init_metric_value(spec), dtype=jnp.int32)
+        init = init.at[spec.starting_state].set(0)
+    else:
+        init = jnp.asarray(initial_metrics, jnp.int32)
 
     def step(m, bm_t):
         pm = m[prev] + bm_t.reshape(-1)[bm_idx]          # [E, NS]
@@ -117,7 +126,7 @@ def viterbi_forward(spec: CodeSpec, step_metrics, collect_metrics: bool = False)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def viterbi_forward_butterfly(spec: CodeSpec, segments):
+def viterbi_forward_butterfly(spec: CodeSpec, segments, initial_metrics=None):
     """k=1 butterfly ACS with the poly-symmetry single-edge-metric trick.
 
     Butterfly b has sources {b, b + NS/2} and destinations {2b, 2b+1}
@@ -140,8 +149,11 @@ def viterbi_forward_butterfly(spec: CodeSpec, segments):
     # Bits of the butterfly's reference coded segment, one plane per coded bit.
     cbits = jnp.stack([(bfly >> j) & 1 for j in range(spec.n)])  # [n, half]
 
-    init = jnp.full((NS,), init_metric_value(spec), dtype=jnp.int32)
-    init = init.at[spec.starting_state].set(0)
+    if initial_metrics is None:
+        init = jnp.full((NS,), init_metric_value(spec), dtype=jnp.int32)
+        init = init.at[spec.starting_state].set(0)
+    else:
+        init = jnp.asarray(initial_metrics, jnp.int32)
 
     def step(m, seg):
         rbits = jnp.stack([(seg >> j) & 1 for j in range(spec.n)])  # [n]
@@ -166,7 +178,8 @@ def viterbi_forward_butterfly(spec: CodeSpec, segments):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
-def traceback_terminated(spec: CodeSpec, decisions, num_pad: int = -1):
+def traceback_terminated(spec: CodeSpec, decisions, num_pad: int = -1,
+                         start_state=0):
     """Block traceback from state 0 over a terminated packet.
 
     Twin of the butterfly decoder's deferred traceback
@@ -179,6 +192,10 @@ def traceback_terminated(spec: CodeSpec, decisions, num_pad: int = -1):
     Returns uint8 [ (T - num_pad) * k ] decoded bits, MSb of each k-bit
     symbol first (matching the encoder's big-endian symbol order,
     convEncode.h:52).
+
+    `start_state` (traced ok) overrides the known terminal state 0 — the
+    truncation-decode start (argmin of final metrics, viterbiDecoder.c:53-74)
+    used by tail-biting wrap decoding.
     """
     if num_pad < 0:
         num_pad = spec.S
@@ -192,7 +209,7 @@ def traceback_terminated(spec: CodeSpec, decisions, num_pad: int = -1):
         nxt = (cur >> spec.k) | (e << shift)
         return nxt, u
 
-    _, us = jax.lax.scan(step, jnp.asarray(0, jnp.int32),
+    _, us = jax.lax.scan(step, jnp.asarray(start_state, jnp.int32),
                          jnp.asarray(decisions), reverse=True)
     us = us[: us.shape[0] - num_pad]  # drop padding steps (the trailing S)
     # Expand each k-bit symbol MSb-first.

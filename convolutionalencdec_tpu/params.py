@@ -205,6 +205,10 @@ K9_561_753 = CodeSpec(K=9, g=(0o561, 0o753))
 #: Rate-1/3 K=7 (133, 145, 175) — exercises n=3.
 NASA_K7_R13 = CodeSpec(K=7, g=(0o133, 0o145, 0o175))
 
+#: The LTE tail-biting convolutional code (36.212 §5.1.3.1): K=7 rate-1/3
+#: (133, 171, 165), used with `ops.tailbiting` (no termination flush).
+LTE_TBCC_K7 = CodeSpec(K=7, g=(0o133, 0o171, 0o165))
+
 
 def replace(spec: CodeSpec, **kwargs) -> CodeSpec:
     """Functional update of a CodeSpec."""
