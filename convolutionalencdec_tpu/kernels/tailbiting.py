@@ -33,10 +33,13 @@ from .acs_pallas import (B_TILE, CHUNK_F, PACK, _pad_to,
 
 
 def kernel_wraps(spec: CodeSpec, T: int, wrap: int | None = None) -> tuple[int, int]:
-    """(wl, wr) used by the kernel path: `wrap` steps each side, with the
-    right wrap stretched so the extended length is a CHUNK_F multiple —
-    extra wrap steps are free accuracy, never padding."""
+    """(wl, wr) used by the kernel path: `wrap` steps each side, the left
+    wrap rounded up to a PACK (byte-group) boundary so the in-kernel
+    msb_first byte emit aligns with message bytes, and the right wrap
+    stretched so the extended length is a CHUNK_F multiple — extra wrap
+    steps are free accuracy, never padding."""
     wl = default_wrap(spec) if wrap is None else int(wrap)
+    wl = -(-wl // PACK) * PACK
     wr = wl + (-(T + 2 * wl) % CHUNK_F)
     return wl, wr
 
@@ -101,3 +104,56 @@ def viterbi_decode_batch_tailbiting(spec: CodeSpec, segments,
     j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
     bits = ((packed[:, None, :] >> j) & 1).reshape(Te, Bp)
     return bits[wl:wl + T, :B].T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_batch_tailbiting_bytes(spec: CodeSpec, segments,
+                                          wrap: int | None = None,
+                                          interpret: bool = False):
+    """Byte twin of `viterbi_decode_batch_tailbiting` (MSb-first fill,
+    zero-padded trailing byte — the reference's packed output format,
+    viterbiDecoder.c:152-189).  Returns uint8 [B, ceil(T/8)].
+
+    On the SWAR route the traceback emits reference-convention bytes
+    directly; `kernel_wraps` keeps the left wrap on a byte-group
+    boundary so the message's bytes are whole traceback emit rows.
+    """
+    spec.validate_for_butterfly()
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    if not acs_swar.swar_supported(spec):
+        from ..ops.bits import pack_bits
+        bits = viterbi_decode_batch_tailbiting(spec, segments, wrap,
+                                               interpret)
+        pad = (-T) % PACK
+        if pad:
+            bits = jnp.pad(bits, ((0, 0), (0, pad)))
+        return pack_bits(bits)
+    wl, wr = kernel_wraps(spec, T, wrap)
+    ext = circular_extend(segments, wl, wr, axis=-1)
+    Te = ext.shape[1]
+    NS = spec.num_states
+    TG = Te // PACK
+    gmask = jnp.full((TG, 1), 0xFF, jnp.int32)
+    s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
+
+    ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
+    Bp = ext_p.shape[0]
+    seg_packed = acs_swar._pack_channels(ext_p)
+    decs, fmp = acs_swar.acs_forward_batch_swar(
+        spec, seg_packed, interpret, init_chunk=-1)
+    fm = acs_swar.unpack_fields(fmp, Bp)
+    am = jnp.argmin(fm, axis=0)
+    h_init = acs_swar.pack_fields((s_iota == am[None, :]).astype(jnp.int32))
+    out32 = acs_swar.traceback_batch_swar_masked(
+        spec, decs, gmask, h_init, interpret, False, True)   # msb_first
+    rows = acs_swar._unpack_out(out32, Bp)                   # (TG, Bp) bytes
+    g0 = wl // PACK
+    nbytes = -(-T // PACK)
+    out = rows[g0:g0 + nbytes]
+    rem = T % PACK
+    if rem:
+        mask = jnp.full((nbytes, 1), 0xFF, jnp.uint8)
+        mask = mask.at[-1, 0].set((0xFF << (PACK - rem)) & 0xFF)
+        out = out & mask
+    return out[:, :B].T

@@ -147,6 +147,26 @@ def test_kernel_tailbiting_matches_scan(spec):
     assert np.mean(got == msgs) > 0.99
 
 
+def test_kernel_tailbiting_bytes_matches_bits():
+    """Byte fast path == pack_bits(bit path), incl. a ragged trailing
+    byte, and round-trips the message."""
+    from convolutionalencdec_tpu.kernels.tailbiting import (
+        viterbi_decode_batch_tailbiting_bytes)
+    from convolutionalencdec_tpu.ops.bits import pack_bits
+    rng = np.random.default_rng(31)
+    B, L = 3, 131   # L % 8 = 3: ragged trailing byte
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_tailbiting(NASA_K7, msgs))
+    flip = rng.random(coded.shape) < 0.02
+    coded = coded ^ (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    bits = np.asarray(viterbi_decode_batch_tailbiting(NASA_K7, coded,
+                                                      interpret=True))
+    got = np.asarray(viterbi_decode_batch_tailbiting_bytes(
+        NASA_K7, coded, interpret=True))
+    padded = np.pad(bits, ((0, 0), (0, (-L) % 8)))
+    np.testing.assert_array_equal(got, np.asarray(pack_bits(padded)))
+
+
 def test_kernel_tailbiting_short_packet_mod_wrap():
     """Packets shorter than the wrap exercise the mod-indexed circular
     extension."""
