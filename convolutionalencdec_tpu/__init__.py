@@ -20,6 +20,7 @@ from .ops.encode import encode_bits, encode_bytes
 from .ops.viterbi import (
     viterbi_decode_bytes,
     viterbi_decode,
+    viterbi_decode_ragged,
     viterbi_decode_stream,
     viterbi_decode_stream_soft,
     viterbi_forward,
@@ -28,6 +29,7 @@ from .ops.viterbi import (
 )
 from .ops.metrics import (
     quantize_llrs,
+    viterbi_decode_ragged_soft,
     viterbi_decode_soft,
 )
 from .ops.maxlogmap import (
@@ -61,6 +63,8 @@ __all__ = [
     "encode_bytes",
     "viterbi_decode_bytes",
     "viterbi_decode",
+    "viterbi_decode_ragged",
+    "viterbi_decode_ragged_soft",
     "viterbi_decode_stream",
     "viterbi_decode_stream_soft",
     "viterbi_forward",

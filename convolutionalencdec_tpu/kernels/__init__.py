@@ -14,6 +14,9 @@ from .acs_pallas import (
     viterbi_decode_batch_soft,
     viterbi_decode_batch_bytes,
     viterbi_decode_batch_soft_bytes,
+    viterbi_decode_batch_ragged,
+    viterbi_decode_batch_bytes_ragged,
+    viterbi_decode_batch_soft_bytes_ragged,
     viterbi_decode_batch_generic,
     acs_forward_batch,
     acs_forward_batch_soft,
@@ -36,6 +39,9 @@ __all__ = [
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
     "viterbi_decode_batch_soft_bytes",
+    "viterbi_decode_batch_ragged",
+    "viterbi_decode_batch_bytes_ragged",
+    "viterbi_decode_batch_soft_bytes_ragged",
     "viterbi_decode_batch_generic",
     "acs_forward_batch",
     "acs_forward_batch_soft",

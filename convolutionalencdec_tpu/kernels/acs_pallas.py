@@ -1612,6 +1612,117 @@ def viterbi_decode_batch_soft_bytes(spec: CodeSpec, qllrs,
     return pack_bits(bits)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def viterbi_decode_batch_ragged(spec: CodeSpec, segments, seg_lengths,
+                                interpret: bool = False):
+    """Ragged-batch hard decode: PER-CHANNEL packet lengths, ONE kernel
+    call.
+
+    The reference's one-packet-per-call contract makes mixed-length
+    traffic serial (viterbiDecoderButterflyk1.c:82-260); here the SWAR
+    traceback masks decisions per channel past each t_b (state 0 is a
+    fixed point of decision 0, so the walk reaches every channel's true
+    terminal state — ops/viterbi.viterbi_decode_ragged documents the
+    argument), keeping the whole mixed batch on the fast path.
+
+    Args:
+      segments: uint8 [B, Tmax]; rows padded arbitrarily beyond t_b.
+      seg_lengths: int32 [B] (traced ok) valid segment counts,
+        t_b = l_b / k + S.
+    Returns:
+      uint8 [B, (Tmax - S) * k]; positions >= (t_b - S)*k are zero.
+    """
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    lens = jnp.asarray(seg_lengths, jnp.int32)
+    from .acs_swar import SWAR_TILE, swar_decode_ragged, swar_supported
+    if spec.k == 1 and spec.has_poly_symmetry and swar_supported(spec):
+        seg_p = _pad_to(_pad_to(segments, SWAR_TILE, 0), CHUNK_F, 1)
+        lens_p = jnp.pad(lens, (0, seg_p.shape[0] - B))
+        packed = swar_decode_ragged(spec, seg_p, lens_p, interpret)
+        j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
+        bits = ((packed[:, None, :] >> j) & 1)
+        bits = bits.reshape(-1, packed.shape[-1])[:, :B].T  # (B, Tp)
+        # Zero the decoded termination tail per channel (the kernel only
+        # masks decisions past t_b; message bits end at t_b - S).
+        pos = jnp.arange(bits.shape[1], dtype=jnp.int32)
+        msg_live = pos[None, :] < lens[:, None] - spec.S
+        return (bits * msg_live.astype(jnp.uint8))[:, : T - spec.S]
+    from ..ops.viterbi import viterbi_decode_ragged
+    return viterbi_decode_ragged(spec, segments, lens)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def viterbi_decode_batch_bytes_ragged(spec: CodeSpec, segments,
+                                      seg_lengths,
+                                      interpret: bool = False):
+    """Ragged-batch hard decode to packed bytes (MSb-first fill,
+    per-channel zero padding past ceil((t_b - S)*k / 8) — the
+    reference's packed-output semantics per row,
+    viterbiDecoder.c:152-189).  Returns uint8
+    [B, ceil((Tmax - S)*k / 8)]."""
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    lens = jnp.asarray(seg_lengths, jnp.int32)
+    nbytes = ((T - spec.S) * spec.k + 7) // 8
+    from .acs_swar import (SWAR_TILE, swar_decode_bytes_ragged,
+                           swar_supported)
+    if spec.k == 1 and spec.has_poly_symmetry and swar_supported(spec):
+        seg_p = _pad_to(_pad_to(segments, SWAR_TILE, 0), CHUNK_F, 1)
+        lens_p = jnp.pad(lens, (0, seg_p.shape[0] - B))
+        by = swar_decode_bytes_ragged(spec, seg_p, lens_p, interpret)
+        return by[:B, :nbytes]
+    from ..ops.bits import pack_bits
+    bits = viterbi_decode_batch_ragged(spec, segments, lens, interpret)
+    pad = (-bits.shape[-1]) % 8
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    return pack_bits(bits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def viterbi_decode_batch_soft_bytes_ragged(spec: CodeSpec, qllrs,
+                                           seg_lengths,
+                                           interpret: bool = False,
+                                           qmax: int | None = None):
+    """Soft-decision ragged-batch byte decode (per-channel lengths).
+
+    Byte twin of `viterbi_decode_batch_bytes_ragged` over quantized
+    LLRs, riding the SWAR-8/SWAR-16 soft kernels; other specs fall back
+    to the masked-decision scan reference
+    (ops/metrics.viterbi_decode_ragged_soft).  Returns uint8
+    [B, ceil((Tmax - S)*k / 8)].
+    """
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, _ = qllrs.shape
+    lens = jnp.asarray(seg_lengths, jnp.int32)
+    nbytes = ((T - spec.S) * spec.k + 7) // 8
+    if qmax is None:
+        from ..ops.metrics import DEFAULT_QMAX
+        qmax = DEFAULT_QMAX
+    from .acs_swar import (SWAR_TILE, SWAR_TILE16, swar8_soft_supported,
+                           swar_decode_bytes_ragged_soft,
+                           swar_decode_bytes_ragged_soft8, swar_supported)
+    if swar8_soft_supported(spec, qmax):
+        q_p = _pad_to(_pad_to(qllrs, SWAR_TILE, 0), CHUNK_F, 1)
+        lens_p = jnp.pad(lens, (0, q_p.shape[0] - B))
+        by = swar_decode_bytes_ragged_soft8(spec, q_p, lens_p, qmax,
+                                            interpret)
+        return by[:B, :nbytes]
+    if spec.k == 1 and spec.has_poly_symmetry and swar_supported(spec):
+        q_p = _pad_to(_pad_to(qllrs, SWAR_TILE16, 0), CHUNK_F, 1)
+        lens_p = jnp.pad(lens, (0, q_p.shape[0] - B))
+        by = swar_decode_bytes_ragged_soft(spec, q_p, lens_p, interpret)
+        return by[:B, :nbytes]
+    from ..ops.bits import pack_bits
+    from ..ops.metrics import viterbi_decode_ragged_soft
+    bits = viterbi_decode_ragged_soft(spec, qllrs, lens)
+    pad = (-bits.shape[-1]) % 8
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    return pack_bits(bits)
+
+
 # ---------------------------------------------------------------------------
 # Generic-k kernels: any rate-k/n code, 2^k-way ACS (viterbiDecoder.c:95-131).
 #

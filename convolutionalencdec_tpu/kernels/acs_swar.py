@@ -481,7 +481,8 @@ def _fwd_kernel_swar(spec: CodeSpec):
 
 
 def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF,
-                    msb_first=False, with_hinit=False):
+                    msb_first=False, with_hinit=False,
+                    per_channel=False):
     NS = spec.num_states
     Q8 = NS // 8
 
@@ -490,6 +491,9 @@ def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF,
         # (unit fields) — one-hot(argmin(final metrics)) for time-sharded
         # blocks; without it the walk starts at the terminal state 0
         # (viterbiDecoderButterflyk1.c:212).
+        # per_channel: gmask is a VMEM (GPC, 1, LANES) block of PACKED
+        # per-channel byte masks (ragged batch decode) instead of one
+        # SMEM byte per group.
         if with_hinit:
             gmask_ref, hinit_ref, dec_ref, out_ref, h_ref = refs
         else:
@@ -510,9 +514,13 @@ def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF,
         h = h_ref[:]
         hb = [h[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
 
-        def get_dec(g):
-            gm = gmask_ref[gbase + g, 0]
-            return dec_ref[g] & (gm * unit)
+        if per_channel:
+            def get_dec(g):
+                return dec_ref[g] & gmask_ref[g]   # (NS,L) & (1,L) bcast
+        else:
+            def get_dec(g):
+                gm = gmask_ref[gbase + g, 0]
+                return dec_ref[g] & (gm * unit)
 
         def emit(g, out_acc):
             out_ref[g, 0, :] = out_acc.reshape(LANES)
@@ -661,6 +669,59 @@ def traceback_batch_swar_masked(spec: CodeSpec, decs, gmask, h_init,
     )(gmask, jnp.asarray(h_init, jnp.int32), decs)
 
 
+def _ragged_group_masks(seg_lengths, TG: int):
+    """Per-channel per-8-step-group byte masks: [B] int32 (traced ok) ->
+    [TG, B] int32; bit j of group g's byte = 1 iff step g*8+j < t_b.
+    The ragged twin of acs_pallas._group_masks."""
+    g0 = jnp.arange(TG, dtype=jnp.int32)[:, None] * PACK
+    live = jnp.clip(jnp.asarray(seg_lengths, jnp.int32)[None, :] - g0,
+                    0, PACK)
+    return (1 << live) - 1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def traceback_batch_swar_ragged(spec: CodeSpec, decs, gmask_packed,
+                                interpret: bool = False,
+                                wide: bool = False,
+                                msb_first: bool = False):
+    """Ragged-batch SWAR traceback: the per-group decision mask is a
+    PER-CHANNEL packed byte (VMEM plane) instead of one SMEM scalar, so a
+    single kernel call decodes a batch of mixed-length packets (decision 0
+    teleports the walk to the terminal state 0 across each channel's
+    masked tail — same argument as the time-sharded masks).
+
+    Args:
+      decs: [TG, NS, B4] int32 packed decisions.
+      gmask_packed: [TG, 1, B4] int32 — pack_fields of
+        _ragged_group_masks (byte masks in the SWAR channel mapping).
+    Returns packed decoded bits [TG, 1, B4] int32.
+    """
+    NS = spec.num_states
+    TG, _, B4 = decs.shape
+    nt = TG // GPC
+    nb = B4 // LANES
+    return pl.pallas_call(
+        _tb_kernel_swar(spec, *((UNIT16, 0xFFFF) if wide
+                                else (UNIT, 0xFF)), msb_first,
+                        per_channel=True),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((GPC, 1, LANES),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPC, NS, LANES),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPC, 1, LANES),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, 1, B4), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(gmask_packed, decs)
+
+
 def pack_fields(x):
     """[R, B] int32 -> [R, B//4] int32 with the SWAR channel mapping
     (channel tile*4L + f*L + l at lane tile*L + l byte field f) —
@@ -671,6 +732,15 @@ def pack_fields(x):
     return (xr[:, :, 0] | (xr[:, :, 1] << 8)
             | (xr[:, :, 2] << 16) | (xr[:, :, 3] << 24)) \
         .reshape(R, B // 4)
+
+
+def pack_fields16(x):
+    """[R, B] int32 -> [R, B//2] int32 with the SWAR-16 channel mapping
+    (channel tile*2L + f*L + l at lane tile*L + l, 16-bit field f) —
+    pack_fields' twin for the wide (soft-16) kernels."""
+    R, B = x.shape
+    xr = jnp.asarray(x, jnp.int32).reshape(R, B // SWAR_TILE16, 2, LANES)
+    return (xr[:, :, 0] | (xr[:, :, 1] << 16)).reshape(R, B // 2)
 
 
 def unpack_fields(p, B):
@@ -749,6 +819,87 @@ def swar_decode_bytes_soft(spec: CodeSpec, qllrs, t_actual: int, L: int,
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
                                  wide=True, msb_first=True)
     return _bytes_epilogue(out32, B, L, wide=True)
+
+
+def _ragged_gmask_packed(seg_lengths, TG: int, B: int, wide: bool = False):
+    """Build the [TG, 1, B//(4 or 2)] packed per-channel group-mask plane
+    for `traceback_batch_swar_ragged` from [B] segment counts."""
+    gm = _ragged_group_masks(seg_lengths, TG)          # (TG, B)
+    packed = (pack_fields16 if wide else pack_fields)(gm)
+    return packed.reshape(TG, 1, -1)
+
+
+def _bytes_epilogue_ragged(out32, B: int, msg_bits, wide: bool = False):
+    """Per-channel trim of an msb_first ragged traceback: mask decoded
+    byte rows so only each channel's first `msg_bits[b]` bits survive
+    (the per-channel twin of _bytes_epilogue's trailing-byte mask).
+    Returns [B, TG] uint8 decoded bytes, rows zero-padded past
+    ceil(msg_bits[b] / 8)."""
+    unpack = _unpack_out16 if wide else _unpack_out
+    packed = unpack(out32, B)                          # (TG, B) u8
+    bit0 = jnp.arange(packed.shape[0], dtype=jnp.int32)[:, None] * 8
+    live = jnp.clip(jnp.asarray(msg_bits, jnp.int32)[None, :] - bit0,
+                    0, 8)
+    mask = ((0x100 - (1 << (8 - live))) & 0xFF).astype(jnp.uint8)
+    return (packed & mask).T                           # (B, TG)
+
+
+def swar_decode_ragged(spec: CodeSpec, segments, seg_lengths,
+                       interpret: bool = False):
+    """Ragged-batch hard decode: [B, T] uint8 segments (pre-padded to
+    SWAR_TILE x CHUNK_F) + [B] valid segment counts -> packed decoded
+    bits [T//PACK, B] uint8 (decision bits at steps >= t_b zeroed; the
+    caller masks message bits past t_b - S)."""
+    B, T = segments.shape
+    seg_packed = _pack_channels(segments)
+    decs, _ = acs_forward_batch_swar(spec, seg_packed, interpret)
+    gm_p = _ragged_gmask_packed(seg_lengths, decs.shape[0], B)
+    out32 = traceback_batch_swar_ragged(spec, decs, gm_p, interpret)
+    return _unpack_out(out32, B)
+
+
+def swar_decode_bytes_ragged(spec: CodeSpec, segments, seg_lengths,
+                             interpret: bool = False):
+    """Ragged-batch hard decode to packed bytes: [B, T] uint8 segments
+    (pre-padded) + [B] valid segment counts -> [B, T//PACK] uint8
+    decoded bytes (MSb-first fill, per-channel zero padding past
+    ceil((t_b - S)/8) — viterbiDecoder.c:152-189 semantics per row)."""
+    B, T = segments.shape
+    seg_packed = _pack_channels(segments)
+    decs, _ = acs_forward_batch_swar(spec, seg_packed, interpret)
+    gm_p = _ragged_gmask_packed(seg_lengths, decs.shape[0], B)
+    out32 = traceback_batch_swar_ragged(spec, decs, gm_p, interpret,
+                                        msb_first=True)
+    msg_bits = jnp.asarray(seg_lengths, jnp.int32) - spec.S
+    return _bytes_epilogue_ragged(out32, B, msg_bits)
+
+
+def swar_decode_bytes_ragged_soft8(spec: CodeSpec, qllrs, seg_lengths,
+                                   qmax: int, interpret: bool = False):
+    """Soft (SWAR-8) ragged byte decode: [B, T, n] int8 quantized LLRs
+    (pre-padded) + [B] valid segment counts -> [B, T//PACK] uint8."""
+    B, T, _ = qllrs.shape
+    cost_packed = _pack_qllrs8(qllrs, qmax)
+    decs = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
+                                        interpret)
+    gm_p = _ragged_gmask_packed(seg_lengths, decs.shape[0], B)
+    out32 = traceback_batch_swar_ragged(spec, decs, gm_p, interpret,
+                                        msb_first=True)
+    msg_bits = jnp.asarray(seg_lengths, jnp.int32) - spec.S
+    return _bytes_epilogue_ragged(out32, B, msg_bits)
+
+
+def swar_decode_bytes_ragged_soft(spec: CodeSpec, qllrs, seg_lengths,
+                                  interpret: bool = False):
+    """Soft (SWAR-16, any int8 LLRs) ragged byte decode."""
+    B, T, _ = qllrs.shape
+    cost_packed = _pack_qllrs(qllrs)
+    decs = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
+    gm_p = _ragged_gmask_packed(seg_lengths, decs.shape[0], B, wide=True)
+    out32 = traceback_batch_swar_ragged(spec, decs, gm_p, interpret,
+                                        wide=True, msb_first=True)
+    msg_bits = jnp.asarray(seg_lengths, jnp.int32) - spec.S
+    return _bytes_epilogue_ragged(out32, B, msg_bits, wide=True)
 
 
 def _fwd_kernel_swar_soft(spec: CodeSpec):

@@ -144,6 +144,41 @@ def viterbi_decode_soft(spec: CodeSpec, qllrs):
     return traceback_terminated(spec, decisions)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def viterbi_decode_ragged_soft(spec: CodeSpec, qllrs, seg_lengths):
+    """Soft-decision batched decode with per-channel lengths.
+
+    The soft twin of ops/viterbi.viterbi_decode_ragged (same
+    masked-decision walk — see its docstring for the fixed-point
+    argument).
+
+    Args:
+      qllrs: int8 [B, Tmax, n] quantized LLRs.
+      seg_lengths: int32 [B] (traced ok) valid segment counts.
+    Returns:
+      uint8 [B, (Tmax - S) * k]; positions >= (t_b - S)*k are zero.
+    """
+    from .viterbi import viterbi_forward
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, _ = qllrs.shape
+    lens = jnp.asarray(seg_lengths, jnp.int32)
+    if spec.k == 1 and spec.has_poly_symmetry:
+        decisions, _ = jax.vmap(
+            lambda q: viterbi_forward_butterfly_soft(spec, q))(qllrs)
+    else:
+        decisions, _ = jax.vmap(
+            lambda q: viterbi_forward(spec, soft_step_metrics(spec, q))
+        )(qllrs)
+    live = jnp.arange(T, dtype=jnp.int32)[None, :] < lens[:, None]
+    decisions = decisions * live[:, :, None].astype(jnp.uint8)
+    bits = jax.vmap(
+        lambda d: traceback_terminated(spec, d, num_pad=0))(decisions)
+    pos = jnp.arange(T * spec.k, dtype=jnp.int32)
+    msg_live = pos[None, :] < (lens[:, None] - spec.S) * spec.k
+    bits = bits * msg_live.astype(jnp.uint8)
+    return bits[:, : (T - spec.S) * spec.k]
+
+
 def hard_bits_to_qllrs(segment_bits):
     """Map hard coded bits to ±1 pseudo-LLRs (bit 0 -> +1, bit 1 -> -1).
 

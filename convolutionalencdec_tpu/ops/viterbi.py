@@ -241,6 +241,52 @@ def viterbi_decode(spec: CodeSpec, segments, use_butterfly: bool | None = None):
     return traceback_terminated(spec, decisions)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def viterbi_decode_ragged(spec: CodeSpec, segments, seg_lengths):
+    """Batched decode of terminated packets with PER-CHANNEL lengths.
+
+    The reference decodes one packet per call, so ragged traffic costs one
+    call per length (`viterbiDecoderHardButterflyk1`'s whole-packet `last`
+    contract, viterbiDecoderButterflyk1.c:82-260); here a single batched
+    trace handles mixed lengths: decisions at steps >= t_b are masked to
+    decision 0, and because every trellis state is a shift register,
+    state 0 is a fixed point of decision 0 — the backward walk parked at
+    state 0 over the masked tail arrives at step t_b-1 still in the
+    channel's true terminal state (the per-packet known-final-state start,
+    viterbiDecoderButterflyk1.c:200-212).
+
+    Args:
+      segments: uint8 [B, Tmax] hard segments; rows may be padded with
+        anything beyond t_b.
+      seg_lengths: int32 [B] (traced ok) valid segment counts,
+        t_b = l_b / k + S for an l_b-bit message.
+    Returns:
+      uint8 [B, (Tmax - S) * k] decoded bits; positions >= (t_b - S)*k
+      of each row are zero.
+    """
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    lens = jnp.asarray(seg_lengths, jnp.int32)
+    if spec.k == 1 and spec.has_poly_symmetry:
+        decisions, _ = jax.vmap(
+            lambda s: viterbi_forward_butterfly(spec, s))(segments)
+    else:
+        decisions, _ = jax.vmap(
+            lambda s: viterbi_forward(spec, hard_step_metrics(spec, s))
+        )(segments)
+    live = jnp.arange(T, dtype=jnp.int32)[None, :] < lens[:, None]
+    decisions = decisions * live[:, :, None].astype(jnp.uint8)
+    bits = jax.vmap(
+        lambda d: traceback_terminated(spec, d, num_pad=0))(decisions)
+    # Zero the termination symbols (decoded tail of each survivor path)
+    # and everything beyond: only the first (t_b - S)*k positions are
+    # message bits (viterbiDecoder.c:206-210's pad stripping, per channel).
+    pos = jnp.arange(T * spec.k, dtype=jnp.int32)
+    msg_live = pos[None, :] < (lens[:, None] - spec.S) * spec.k
+    bits = bits * msg_live.astype(jnp.uint8)
+    return bits[:, : (T - spec.S) * spec.k]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def viterbi_decode_stream(spec: CodeSpec, segments, traceback_len: int = 0):
     """Streaming sliding-window decode (decode delay = traceback_len).

@@ -116,6 +116,16 @@ def kernel_traffic(spec: CodeSpec, batch: int, steps: int,
         glue = (n * T * B + 2 * n * T * B) + 2 * bits_out
         fwd_r, fwd_w = 2 * n * T * B, dec_bytes
         tb_r, tb_w = dec_bytes, bits_out
+    elif mode == "ragged":
+        # "block" plus the per-channel decision-mask plane
+        # (viterbi_decode_batch_ragged): build [T/8, B] int32 masks and
+        # pack them to one byte per channel per 8-step group (glue); the
+        # traceback reads the packed plane alongside each decision group.
+        gm_packed = T // 8 * B
+        glue = (2 * T * B + 2 * bits_out
+                + 4 * (T // 8) * B + 2 * gm_packed)
+        fwd_r, fwd_w = T * B, dec_bytes
+        tb_r, tb_w = dec_bytes + gm_packed, bits_out
     elif mode == "stream":
         state = 3 * NS * B * 4
         fwd_r, fwd_w = T * B + state, bits_out + state
@@ -140,7 +150,8 @@ def kernel_traffic(spec: CodeSpec, batch: int, steps: int,
 def traffic_report(spec: CodeSpec, batch: int, steps: int) -> str:
     """Render the per-kernel traffic table for all decode modes."""
     rows = [kernel_traffic(spec, batch, steps, m)
-            for m in ("block", "block_int32", "block_soft", "stream")]
+            for m in ("block", "block_int32", "block_soft", "ragged",
+                      "stream")]
     out = [f"HBM traffic per call (B={batch}, T={steps}, "
            f"K={spec.K}, NS={spec.num_states}):",
            f"  {'mode':11s} {'fwd R':>10s} {'fwd W':>10s} {'tb R':>10s} "

@@ -24,7 +24,7 @@ def test_kernel_traffic_decision_bytes():
     B, T = 2048, 2048
     NS = NASA_K7.num_states
     dec = T // 8 * NS * B
-    for mode in ("block", "block_int32", "block_soft"):
+    for mode in ("block", "block_int32", "block_soft", "ragged"):
         r = kernel_traffic(NASA_K7, B, T, mode)
         assert r["forward_write_bytes"] >= dec
         assert r["traceback_read_bytes"] >= dec
@@ -50,6 +50,17 @@ def test_kernel_traffic_k_scaling():
     assert r["decoded_bits"] == (256 - TOY_K3.S) * 256 * TOY_K3.k
 
 
+def test_kernel_traffic_ragged_mask_overhead():
+    """Ragged adds only the packed mask plane (1 byte per channel per
+    8-step group) on top of the block path — ~1.5% of decision traffic
+    at NS=64, so mixed-length batching is essentially free."""
+    blk = kernel_traffic(NASA_K7, 2048, 2048, "block")
+    rag = kernel_traffic(NASA_K7, 2048, 2048, "ragged")
+    gm = 2048 // 8 * 2048
+    assert rag["traceback_read_bytes"] == blk["traceback_read_bytes"] + gm
+    assert rag["total_bytes"] - blk["total_bytes"] < blk["total_bytes"] * 0.05
+
+
 def test_kernel_traffic_unknown_mode():
     with pytest.raises(ValueError):
         kernel_traffic(NASA_K7, 8, 8, "warp")
@@ -57,7 +68,8 @@ def test_kernel_traffic_unknown_mode():
 
 def test_traffic_report_renders_all_modes():
     text = traffic_report(NASA_K7, 2048, 2054)
-    for mode in ("block", "block_int32", "block_soft", "stream"):
+    for mode in ("block", "block_int32", "block_soft", "ragged",
+                 "stream"):
         assert mode in text
 
 
