@@ -8,7 +8,9 @@ pass and the one-hot select-network traceback.
 from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel
 from .acs_k2 import viterbi_decode_batch_k2
 from .tailbiting import (viterbi_decode_batch_tailbiting,
-                         viterbi_decode_batch_tailbiting_bytes)
+                         viterbi_decode_batch_tailbiting_bytes,
+                         viterbi_decode_batch_tailbiting_soft,
+                         viterbi_decode_batch_tailbiting_soft_bytes)
 from .acs_pallas import (
     viterbi_decode_batch,
     viterbi_decode_batch_soft,
@@ -36,6 +38,8 @@ __all__ = [
     "viterbi_decode_batch_k2",
     "viterbi_decode_batch_tailbiting",
     "viterbi_decode_batch_tailbiting_bytes",
+    "viterbi_decode_batch_tailbiting_soft",
+    "viterbi_decode_batch_tailbiting_soft_bytes",
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
     "viterbi_decode_batch_soft_bytes",

@@ -752,6 +752,15 @@ def unpack_fields(p, B):
     return jnp.stack(fields, axis=2).reshape(R, B)
 
 
+def unpack_fields16(p, B):
+    """[R, B//2] int32 -> [R, B] int32 (inverse of pack_fields16 for
+    non-negative 16-bit fields, e.g. soft renormalized path metrics)."""
+    R = p.shape[0]
+    pr = p.reshape(R, B // SWAR_TILE16, LANES)
+    fields = [(pr >> (16 * f)) & 0xFFFF for f in range(2)]
+    return jnp.stack(fields, axis=2).reshape(R, B)
+
+
 def swar_decode_packed(spec: CodeSpec, segments, t_actual: int,
                        interpret: bool = False):
     """[B, T] uint8 segments (pre-padded to SWAR_TILE x CHUNK_F) ->
@@ -802,7 +811,7 @@ def swar_decode_bytes_soft8(spec: CodeSpec, qllrs, t_actual: int, L: int,
     (MSb-first fill, viterbiDecoder.c:152-189 semantics)."""
     B, T, _ = qllrs.shape
     cost_packed = _pack_qllrs8(qllrs, qmax)
-    decs = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
+    decs, _ = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
                                         interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
                                  msb_first=True)
@@ -815,7 +824,7 @@ def swar_decode_bytes_soft(spec: CodeSpec, qllrs, t_actual: int, L: int,
     LLRs): [B, T, n] int8 -> [B, ceil(L/8)] uint8 decoded bytes."""
     B, T, _ = qllrs.shape
     cost_packed = _pack_qllrs(qllrs)
-    decs = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
+    decs, _ = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
                                  wide=True, msb_first=True)
     return _bytes_epilogue(out32, B, L, wide=True)
@@ -880,7 +889,7 @@ def swar_decode_bytes_ragged_soft8(spec: CodeSpec, qllrs, seg_lengths,
     (pre-padded) + [B] valid segment counts -> [B, T//PACK] uint8."""
     B, T, _ = qllrs.shape
     cost_packed = _pack_qllrs8(qllrs, qmax)
-    decs = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
+    decs, _ = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
                                         interpret)
     gm_p = _ragged_gmask_packed(seg_lengths, decs.shape[0], B)
     out32 = traceback_batch_swar_ragged(spec, decs, gm_p, interpret,
@@ -894,7 +903,7 @@ def swar_decode_bytes_ragged_soft(spec: CodeSpec, qllrs, seg_lengths,
     """Soft (SWAR-16, any int8 LLRs) ragged byte decode."""
     B, T, _ = qllrs.shape
     cost_packed = _pack_qllrs(qllrs)
-    decs = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
+    decs, _ = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
     gm_p = _ragged_gmask_packed(seg_lengths, decs.shape[0], B, wide=True)
     out32 = traceback_batch_swar_ragged(spec, decs, gm_p, interpret,
                                         wide=True, msb_first=True)
@@ -907,10 +916,18 @@ def _fwd_kernel_swar_soft(spec: CodeSpec):
     Q8 = NS // 8
     init_hi = init_metric_value(spec)
 
-    def kernel(g_ref, cost_ref, dec_ref, m_ref):
+    def kernel(ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref):
+        # ic_ref / fm_ref: same contract as the hard _fwd_kernel_swar —
+        # init_chunk = -1 keeps a uniform (all-zero) start for
+        # tail-biting wrap decode and time-sharded interior blocks;
+        # fm_ref holds the packed final metrics after the last chunk.
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
+        def _():
+            m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
+
+        @pl.when(t_chunk == ic_ref[0, 0])
         def _():
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
@@ -920,37 +937,48 @@ def _fwd_kernel_swar_soft(spec: CodeSpec):
             for b_ in range(8):
                 dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = acc[b_]
 
-        m_ref[:] = _fwd_chunk_body_swar_soft(spec, g_ref, cost_ref,
-                                             m_ref[:], dec_store)
+        m = _fwd_chunk_body_swar_soft(spec, g_ref, cost_ref,
+                                      m_ref[:], dec_store)
+        m_ref[:] = m
+        fm_ref[:] = m
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
-                                interpret: bool = False):
+                                interpret: bool = False, init_chunk=0):
     """cost_packed: [n, T, B2] int32 packed biased LLRs (see
-    _fwd_chunk_body_swar_soft).  Returns packed decisions
-    [T//PACK, NS, B2] int32."""
+    _fwd_chunk_body_swar_soft).  `init_chunk` (may be traced) is the
+    chunk at which the standard initial metrics apply; -1 keeps a
+    uniform all-zero start (tail-biting wrap / interior time blocks).
+    Returns (packed decisions [T//PACK, NS, B2] int32, packed final
+    metrics [NS, B2] int32)."""
     NS = spec.num_states
     n2, T, B2 = cost_packed.shape
     nt = T // CHUNK_F
     nb = B2 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))
+    ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         _fwd_kernel_swar_soft(spec),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((n2, CHUNK_F, LANES),
                                lambda b, t: (0, t, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt * GPC, NS, B2), jnp.int32),
+        out_specs=[pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nt * GPC, NS, B2), jnp.int32),
+                   jax.ShapeDtypeStruct((NS, B2), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
         interpret=interpret,
-    )(G, cost_packed)
+    )(ic, G, cost_packed)
 
 
 def _pack_qllrs(qllrs):
@@ -981,7 +1009,7 @@ def swar_decode_packed_soft(spec: CodeSpec, qllrs, t_actual: int,
     CHUNK_F) -> packed decoded bits [T//PACK, B] uint8."""
     B, T, _ = qllrs.shape
     cost_packed = _pack_qllrs(qllrs)
-    decs = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
+    decs, _ = acs_forward_batch_swar_soft(spec, cost_packed, interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret,
                                  wide=True)
     return _unpack_out16(out32, B)
@@ -992,10 +1020,15 @@ def _fwd_kernel_swar_soft8(spec: CodeSpec, qmax: int):
     Q8 = NS // 8
     init_hi = init_metric_value(spec)
 
-    def kernel(g_ref, cost_ref, dec_ref, m_ref):
+    def kernel(ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref):
+        # ic_ref / fm_ref: same contract as the hard _fwd_kernel_swar.
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
+        def _():
+            m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
+
+        @pl.when(t_chunk == ic_ref[0, 0])
         def _():
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 0)
             m_ref[:] = jnp.where(s_idx == spec.starting_state,
@@ -1005,37 +1038,47 @@ def _fwd_kernel_swar_soft8(spec: CodeSpec, qmax: int):
             for b_ in range(8):
                 dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = acc[b_]
 
-        m_ref[:] = _fwd_chunk_body_swar_soft8(spec, qmax, g_ref, cost_ref,
-                                              m_ref[:], dec_store)
+        m = _fwd_chunk_body_swar_soft8(spec, qmax, g_ref, cost_ref,
+                                       m_ref[:], dec_store)
+        m_ref[:] = m
+        fm_ref[:] = m
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def acs_forward_batch_swar_soft8(spec: CodeSpec, cost_packed,
-                                 qmax: int, interpret: bool = False):
+                                 qmax: int, interpret: bool = False,
+                                 init_chunk=0):
     """cost_packed: [n, T, B4] int32 packed biased LLRs, 8-bit fields
-    (see _fwd_chunk_body_swar_soft8).  Returns packed decisions
-    [T//PACK, NS, B4] int32."""
+    (see _fwd_chunk_body_swar_soft8).  `init_chunk` as in
+    acs_forward_batch_swar_soft.  Returns (packed decisions
+    [T//PACK, NS, B4] int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     n2, T, B4 = cost_packed.shape
     nt = T // CHUNK_F
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))
+    ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         _fwd_kernel_swar_soft8(spec, qmax),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((n2, CHUNK_F, LANES),
                                lambda b, t: (0, t, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt * GPC, NS, B4), jnp.int32),
+        out_specs=[pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nt * GPC, NS, B4), jnp.int32),
+                   jax.ShapeDtypeStruct((NS, B4), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
         interpret=interpret,
-    )(G, cost_packed)
+    )(ic, G, cost_packed)
 
 
 def _pack_qllrs8(qllrs, qmax: int):
@@ -1060,7 +1103,7 @@ def swar_decode_packed_soft8(spec: CodeSpec, qllrs, t_actual: int,
     hold for the given qmax)."""
     B, T, _ = qllrs.shape
     cost_packed = _pack_qllrs8(qllrs, qmax)
-    decs = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
+    decs, _ = acs_forward_batch_swar_soft8(spec, cost_packed, qmax,
                                         interpret)
     out32 = traceback_batch_swar(spec, decs, t_actual, interpret)
     return _unpack_out(out32, B)

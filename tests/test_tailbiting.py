@@ -177,3 +177,50 @@ def test_kernel_tailbiting_short_packet_mod_wrap():
     got = np.asarray(viterbi_decode_batch_tailbiting(NASA_K7, coded,
                                                      interpret=True))
     np.testing.assert_array_equal(got, msgs)
+
+
+@pytest.mark.parametrize("qmax", [7, 31], ids=["swar8", "swar16"])
+def test_kernel_tailbiting_soft_matches_scan(qmax):
+    """Soft kernel circular decode (SWAR-8 / SWAR-16 route by qmax) is
+    bit-exact vs the soft scan wrap decoder with the same (wl, wr)."""
+    from convolutionalencdec_tpu.kernels.tailbiting import (
+        viterbi_decode_batch_tailbiting_soft)
+    rng = np.random.default_rng(37)
+    B, L = 3, 150
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_tailbiting(NASA_K7, msgs))
+    flip = rng.random(coded.shape) < 0.03
+    coded = coded ^ (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    seg_bits = np.stack([(coded >> j) & 1 for j in range(NASA_K7.n)],
+                        axis=-1)
+    scale = 1 if qmax == 7 else 9   # 9 > 7 forces the SWAR-16 fields
+    q = (scale * np.asarray(hard_bits_to_qllrs(seg_bits))).astype(np.int8)
+    wraps = kernel_wraps(NASA_K7, L)
+    ref = np.asarray(jax.vmap(
+        lambda c: viterbi_decode_tailbiting_soft(NASA_K7, c, wraps))(q))
+    got = np.asarray(viterbi_decode_batch_tailbiting_soft(
+        NASA_K7, q, interpret=True, qmax=qmax))
+    np.testing.assert_array_equal(got, ref)
+    assert np.mean(got == msgs) > 0.99
+
+
+def test_kernel_tailbiting_soft_bytes_matches_bits():
+    from convolutionalencdec_tpu.kernels.tailbiting import (
+        viterbi_decode_batch_tailbiting_soft,
+        viterbi_decode_batch_tailbiting_soft_bytes)
+    from convolutionalencdec_tpu.ops.bits import pack_bits
+    rng = np.random.default_rng(41)
+    B, L = 3, 131   # ragged trailing byte
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_tailbiting(NASA_K7, msgs))
+    flip = rng.random(coded.shape) < 0.02
+    coded = coded ^ (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    seg_bits = np.stack([(coded >> j) & 1 for j in range(NASA_K7.n)],
+                        axis=-1)
+    q = np.asarray(hard_bits_to_qllrs(seg_bits)).astype(np.int8)
+    bits = np.asarray(viterbi_decode_batch_tailbiting_soft(
+        NASA_K7, q, interpret=True))
+    got = np.asarray(viterbi_decode_batch_tailbiting_soft_bytes(
+        NASA_K7, q, interpret=True))
+    padded = np.pad(bits, ((0, 0), (0, (-L) % 8)))
+    np.testing.assert_array_equal(got, np.asarray(pack_bits(padded)))
