@@ -130,6 +130,54 @@ def bytes_api():
     return "byte round-trip through the kernel"
 check("byte decode", bytes_api)
 
+def ragged_batch():
+    from convolutionalencdec_tpu import viterbi_decode_ragged
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_bytes_ragged, viterbi_decode_batch_ragged)
+    spec = fec.NASA_K7
+    rng = np.random.default_rng(11)
+    uniq = [2042, 8, 64, 333, 1024, 512]
+    lens = np.asarray([uniq[i % len(uniq)] for i in range(256)])
+    Tmax = int(lens.max()) + spec.S
+    segs = rng.integers(0, 4, (256, Tmax), np.uint8)
+    for L in uniq:
+        idx = np.nonzero(lens == L)[0]
+        m = rng.integers(0, 2, (len(idx), L), dtype=np.uint8)
+        coded = np.asarray(fec.encode_bits(spec, m)[0]).copy()
+        flip = rng.random(coded.shape) < 0.02
+        coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+        segs[idx, :L + spec.S] = coded
+    seg_lens = (lens + spec.S).astype(np.int32)
+    got = np.asarray(viterbi_decode_batch_ragged(spec, segs, seg_lens))
+    ref = np.asarray(viterbi_decode_ragged(spec, segs[:32], seg_lens[:32]))
+    assert (got[:32, :ref.shape[1]] == ref).all(), "ragged kernel != scan"
+    by = np.asarray(viterbi_decode_batch_bytes_ragged(spec, segs, seg_lens))
+    b0 = np.packbits(got[0, :lens[0]])
+    assert (by[0, :len(b0)] == b0).all()
+    return f"mixed lengths {min(uniq)}-{max(uniq)}, bit-exact vs scan ragged"
+check("ragged batch decode", ragged_batch)
+
+def tailbiting_soft():
+    from convolutionalencdec_tpu.kernels.tailbiting import (
+        viterbi_decode_batch_tailbiting, viterbi_decode_batch_tailbiting_soft)
+    from convolutionalencdec_tpu.ops.metrics import hard_bits_to_qllrs
+    spec = fec.LTE_TBCC_K7
+    rng = np.random.default_rng(37)
+    B, L = 256, 1024
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_tailbiting(spec, msgs)).copy()
+    flip = rng.random(coded.shape) < 0.03
+    coded ^= (flip * rng.integers(1, 2**spec.n, coded.shape)).astype(np.uint8)
+    seg_bits = np.stack([(coded >> j) & 1 for j in range(spec.n)], axis=-1)
+    q = np.asarray(hard_bits_to_qllrs(seg_bits)).astype(np.int8)
+    hard = np.asarray(viterbi_decode_batch_tailbiting(spec, coded))
+    for qmax, scale in ((7, 1), (31, 9)):
+        soft = np.asarray(viterbi_decode_batch_tailbiting_soft(
+            spec, (q * scale).astype(np.int8), qmax=qmax))
+        assert (soft == hard).all(), f"soft(qmax={qmax}) != hard"
+    return "SWAR-8 and SWAR-16 wrap decode decision-identical to hard"
+check("tail-biting soft", tailbiting_soft)
+
 # --- device-truth throughput via profiler ---
 def profile_all():
     spec = fec.NASA_K7
