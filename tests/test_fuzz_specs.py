@@ -1,0 +1,65 @@
+"""Randomized-CodeSpec fuzz: implementation equivalence across the three
+independent decoders (scan reference, C++ oracle, Pallas kernels) on
+GENERATED codes, not just the curated presets.
+
+The reference can only be rebuilt per code (compile-time macros,
+viterbiDecoder.h:8-16); here CodeSpec is runtime, so the dispatch
+surface — butterfly vs generic, fused vs unfused, SWAR vs int32 — must
+hold for arbitrary valid (K, k, g).  Message recovery is NOT asserted
+(a random code may be catastrophic or non-invertible); equivalence is
+the contract, as in the reference's generic-vs-butterfly cross-check
+(SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from convolutionalencdec_tpu import CodeSpec, encode_bits, viterbi_decode
+from convolutionalencdec_tpu.kernels import viterbi_decode_batch
+from convolutionalencdec_tpu.native import oracle_decode, oracle_encode
+
+
+def _random_specs(seed: int, count: int):
+    rng = np.random.default_rng(seed)
+    specs = []
+    while len(specs) < count:
+        k = int(rng.integers(1, 4))            # 1..3
+        K = int(rng.integers(2, {1: 8, 2: 4, 3: 3}[k] + 1))
+        n = int(rng.integers(max(2, k), 5))    # rate <= 1, n <= 4
+        width = k * K
+        g = tuple(int(rng.integers(1, 1 << width)) for _ in range(n))
+        try:
+            spec = CodeSpec(K=K, k=k, g=g)
+        except ValueError:
+            continue
+        specs.append(spec)
+    return specs
+
+
+SPECS = _random_specs(20260818, 10)
+IDS = [f"{i}:K{s.K}k{s.k}n{s.n}g{'_'.join(oct(x)[2:] for x in s.g)}"
+       for i, s in enumerate(SPECS)]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_fuzz_spec_three_way_equivalence(spec):
+    rng = np.random.default_rng(spec.K * 1000 + spec.k * 100 + spec.n)
+    B = 2
+    L = 48 * spec.k
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0]).copy()
+    # encoder: JAX == C++ oracle
+    for b in range(B):
+        np.testing.assert_array_equal(coded[b],
+                                      oracle_encode(spec, msgs[b]))
+    flip = rng.random(coded.shape) < 0.05
+    coded ^= (flip * rng.integers(1, 1 << spec.n, coded.shape)).astype(
+        np.uint8)
+    # decoder: scan == C++ oracle == Pallas kernel, bit for bit
+    scan = np.asarray(jax.vmap(lambda c: viterbi_decode(spec, c))(coded))
+    for b in range(B):
+        np.testing.assert_array_equal(scan[b], oracle_decode(spec, coded[b]))
+    kern = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(kern, scan)
