@@ -525,13 +525,13 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
         qmax = DEFAULT_QMAX
     from .acs_swar import (SWAR_TILE, SWAR_TILE16, swar8_soft_supported,
                            swar_decode_packed_soft,
-                           swar_decode_packed_soft8, swar_supported)
+                           swar_decode_packed_soft8, swar_layout_supported)
     if swar8_soft_supported(spec, qmax):
         # SWAR-8 kernels: 4 channels per int32 lane; exact for
         # |q| <= qmax (the renorm-every-3-steps bound).
         q_p = _pad_to(_pad_to(qllrs, SWAR_TILE, 0), CHUNK_F, 1)
         packed = swar_decode_packed_soft8(spec, q_p, T, qmax, interpret)
-    elif swar_supported(spec):
+    elif swar_layout_supported(spec):
         # SWAR-16 kernels: 2 channels per int32 lane (16-bit fields hold
         # the LLR-cost metric range; kernels/acs_swar.py).
         q_p = _pad_to(_pad_to(qllrs, SWAR_TILE16, 0), CHUNK_F, 1)
@@ -1595,12 +1595,12 @@ def viterbi_decode_batch_soft_bytes(spec: CodeSpec, qllrs,
         qmax = DEFAULT_QMAX
     from .acs_swar import (SWAR_TILE, SWAR_TILE16, swar8_soft_supported,
                            swar_decode_bytes_soft, swar_decode_bytes_soft8,
-                           swar_supported)
+                           swar_layout_supported)
     if swar8_soft_supported(spec, qmax):
         q_p = _pad_to(_pad_to(qllrs, SWAR_TILE, 0), CHUNK_F, 1)
         return swar_decode_bytes_soft8(spec, q_p, T, L, qmax,
                                        interpret)[:B]
-    if swar_supported(spec):
+    if swar_layout_supported(spec):
         q_p = _pad_to(_pad_to(qllrs, SWAR_TILE16, 0), CHUNK_F, 1)
         return swar_decode_bytes_soft(spec, q_p, T, L, interpret)[:B]
     from ..ops.bits import pack_bits
@@ -1702,14 +1702,15 @@ def viterbi_decode_batch_soft_bytes_ragged(spec: CodeSpec, qllrs,
         qmax = DEFAULT_QMAX
     from .acs_swar import (SWAR_TILE, SWAR_TILE16, swar8_soft_supported,
                            swar_decode_bytes_ragged_soft,
-                           swar_decode_bytes_ragged_soft8, swar_supported)
+                           swar_decode_bytes_ragged_soft8,
+                           swar_layout_supported)
     if swar8_soft_supported(spec, qmax):
         q_p = _pad_to(_pad_to(qllrs, SWAR_TILE, 0), CHUNK_F, 1)
         lens_p = jnp.pad(lens, (0, q_p.shape[0] - B))
         by = swar_decode_bytes_ragged_soft8(spec, q_p, lens_p, qmax,
                                             interpret)
         return by[:B, :nbytes]
-    if spec.k == 1 and spec.has_poly_symmetry and swar_supported(spec):
+    if swar_layout_supported(spec):
         q_p = _pad_to(_pad_to(qllrs, SWAR_TILE16, 0), CHUNK_F, 1)
         lens_p = jnp.pad(lens, (0, q_p.shape[0] - B))
         by = swar_decode_bytes_ragged_soft(spec, q_p, lens_p, interpret)

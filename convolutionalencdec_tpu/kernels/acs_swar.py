@@ -57,12 +57,22 @@ SWAR_TILE16 = 2 * LANES    # channels per kernel tile (soft, 16-bit fields)
 GPC = CHUNK_F // PACK
 
 
-def swar_supported(spec: CodeSpec) -> bool:
-    """SWAR needs the fused 3-stage layout (NS >= 64), hard n <= 4, and
-    metric fields that stay under the 127 guard-bit bound: worst case is
-    init_hi + 24 steps of growth (+ the edge metric) between renorms."""
+def swar_layout_supported(spec: CodeSpec) -> bool:
+    """Whether the SWAR kernels' LAYOUT applies: k=1 poly-symmetric
+    butterfly trellis on the fused 3-stage schedule (NS >= 64) with
+    n <= 4 bit-plane edge metrics.  Field-width bounds are separate:
+    the hard and soft-8 paths add 8-bit metric constraints below, the
+    soft-16 path has none (16-bit fields bound any int8-LLR metric
+    spread by orders of magnitude)."""
     return (spec.k == 1 and spec.num_states >= 64 and spec.n <= 4
-            and spec.has_poly_symmetry
+            and spec.has_poly_symmetry)
+
+
+def swar_supported(spec: CodeSpec) -> bool:
+    """HARD decode in 8-bit fields (4 channels/lane): the layout plus
+    metric fields that stay under the 127 guard-bit bound — worst case
+    init_hi + 24 steps of growth (+ the edge metric) between renorms."""
+    return (swar_layout_supported(spec)
             and init_metric_value(spec) + 25 * spec.n <= 127)
 
 
@@ -81,7 +91,7 @@ def swar8_soft_supported(spec: CodeSpec, qmax: int) -> bool:
     max(64, 84) + 42 = 126: exact with one unit to spare."""
     growth = 3 * spec.n * qmax
     spread = max(init_metric_value(spec), spec.S * spec.n * qmax)
-    return (swar_supported(spec) and qmax <= 31
+    return (swar_layout_supported(spec) and qmax <= 31
             and spread + growth <= 127)
 
 
@@ -557,16 +567,27 @@ def _unpack_out(out32, B):
     return o.reshape(TG, B).astype(jnp.uint8)
 
 
+def _check_swar_shapes(T: int, B4: int):
+    """The SWAR grids tile T by CHUNK_F and lanes by LANES; anything
+    under-aligned would leave grid remainders unprocessed (silently
+    returning unwritten output), so reject it — the wrappers in
+    acs_pallas pad before packing."""
+    if T % CHUNK_F or B4 % LANES:
+        raise ValueError(f"padded shapes required: T={T} % {CHUNK_F} or "
+                         f"packed lanes B4={B4} % {LANES} nonzero")
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
                            interpret: bool = False, init_chunk=0):
-    """seg_packed: [T, B4] int32 (T % CHUNK_F == 0, B4 % 128 == 0).
+    """seg_packed: [T, B4] int32 (T % CHUNK_F == 0, B4 % LANES == 0).
     `init_chunk` (may be traced) is the chunk at which the standard
     initial metrics apply; -1 keeps a uniform start (time-sharded
     interior blocks).  Returns (packed decisions [T//PACK, NS, B4]
     int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     T, B4 = seg_packed.shape
+    _check_swar_shapes(T, B4)
     nt = T // CHUNK_F
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec))
@@ -601,6 +622,7 @@ def traceback_batch_swar(spec: CodeSpec, decs, t_actual: int,
     decoded byte, step g*8+j at bit 7-j)."""
     NS = spec.num_states
     TG, _, B4 = decs.shape
+    _check_swar_shapes(TG * PACK, B4)
     nt = TG // GPC
     nb = B4 // LANES
     gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
@@ -956,6 +978,7 @@ def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
     metrics [NS, B2] int32)."""
     NS = spec.num_states
     n2, T, B2 = cost_packed.shape
+    _check_swar_shapes(T, B2)
     nt = T // CHUNK_F
     nb = B2 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))
@@ -984,7 +1007,7 @@ def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
 def _pack_qllrs(qllrs):
     """[B, T, n] int8 quantized LLRs -> [n, T, B//2] int32 packed
     biased LLRs (q + 128, one 16-bit field per channel): channel
-    c = tile*256 + f*128 + l at lane (tile*128 + l) field f."""
+    c = tile*2L + f*L + l at lane (tile*L + l) field f (L = LANES)."""
     B, T, n = qllrs.shape
     qb = jnp.asarray(qllrs, jnp.int32) + 128
     planes = jnp.moveaxis(qb, -1, 0)          # (n, B, T)
@@ -1056,6 +1079,7 @@ def acs_forward_batch_swar_soft8(spec: CodeSpec, cost_packed,
     [T//PACK, NS, B4] int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     n2, T, B4 = cost_packed.shape
+    _check_swar_shapes(T, B4)
     nt = T // CHUNK_F
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))

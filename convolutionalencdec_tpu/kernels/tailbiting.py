@@ -22,7 +22,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..params import CodeSpec
 from ..ops.tailbiting import circular_extend, default_wrap
@@ -45,6 +44,126 @@ def kernel_wraps(spec: CodeSpec, T: int, wrap: int | None = None) -> tuple[int, 
     return wl, wr
 
 
+def _check_wrap_spec(spec: CodeSpec, mode: str):
+    spec.validate_for_butterfly()
+    if spec.num_states < 64:
+        raise ValueError("kernel tail-biting decode requires NS >= 64; "
+                         f"use ops.tailbiting.viterbi_decode_tailbiting{mode}")
+
+
+def _swar_wrap_traceback(spec: CodeSpec, decs, fmp, Bp: int,
+                         interpret: bool, wide: bool, msb_first: bool):
+    """Shared SWAR wrap epilogue: one-hot(argmin(final metrics)) start,
+    all-steps-live masked traceback.  Returns [TG, Bp] uint8 rows
+    (packed bits, or msb_first bytes)."""
+    TG = decs.shape[0]
+    gmask = jnp.full((TG, 1), 0xFF, jnp.int32)   # every step live
+    s_iota = jnp.arange(spec.num_states, dtype=jnp.int32)[:, None]
+    unpack_m = acs_swar.unpack_fields16 if wide else acs_swar.unpack_fields
+    pack_m = acs_swar.pack_fields16 if wide else acs_swar.pack_fields
+    fm = unpack_m(fmp, Bp)
+    am = jnp.argmin(fm, axis=0)                  # ties -> lowest state
+    h_init = pack_m((s_iota == am[None, :]).astype(jnp.int32))
+    out32 = acs_swar.traceback_batch_swar_masked(
+        spec, decs, gmask, h_init, interpret, wide, msb_first)
+    unpack_o = acs_swar._unpack_out16 if wide else acs_swar._unpack_out
+    return unpack_o(out32, Bp)
+
+
+def _hard_wrap_forward(spec: CodeSpec, segments, wrap,
+                       interpret: bool, msb_first: bool):
+    """Hard wrap-decode core: circular extend, uniform-start forward
+    (SWAR or fused int32), argmin-start traceback.  Returns
+    (rows [TG, Bp] uint8, Bp, wl)."""
+    B, T = segments.shape
+    wl, wr = kernel_wraps(spec, T, wrap)
+    ext = circular_extend(segments, wl, wr, axis=-1)
+    if acs_swar.swar_supported(spec):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
+        Bp = ext_p.shape[0]
+        decs, fmp = acs_swar.acs_forward_batch_swar(
+            spec, acs_swar._pack_channels(ext_p), interpret,
+            init_chunk=-1)
+        rows = _swar_wrap_traceback(spec, decs, fmp, Bp, interpret,
+                                    False, msb_first)
+    else:
+        if msb_first:
+            raise ValueError("msb_first byte emit requires the SWAR path")
+        ext_p = _pad_to(ext, B_TILE, 0)
+        Bp = ext_p.shape[0]
+        decs, fm = acs_forward_batch_fused(spec, ext_p, interpret,
+                                           init_chunk=-1)
+        am = jnp.argmin(fm, axis=0)
+        s_iota = jnp.arange(spec.num_states, dtype=jnp.int32)[:, None]
+        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
+        gmask = jnp.full((decs.shape[0], 1), 0xFF, jnp.int32)
+        rows = traceback_batch_fused_masked(spec, decs, gmask, h_init,
+                                            interpret)
+    return rows, Bp, wl
+
+
+def _soft_wrap_forward(spec: CodeSpec, qllrs, wrap, qmax: int,
+                       interpret: bool, msb_first: bool):
+    """Soft wrap-decode core (SWAR-8 / SWAR-16 / fused int32 by
+    dispatch) — the soft twin of `_hard_wrap_forward`."""
+    B, T, _ = qllrs.shape
+    wl, wr = kernel_wraps(spec, T, wrap)
+    ext = circular_extend(qllrs, wl, wr, axis=-2)
+    if acs_swar.swar8_soft_supported(spec, qmax):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
+        Bp = ext_p.shape[0]
+        decs, fmp = acs_swar.acs_forward_batch_swar_soft8(
+            spec, acs_swar._pack_qllrs8(ext_p, qmax), qmax, interpret,
+            init_chunk=-1)
+        rows = _swar_wrap_traceback(spec, decs, fmp, Bp, interpret,
+                                    False, msb_first)
+    elif acs_swar.swar_layout_supported(spec):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE16, 0)
+        Bp = ext_p.shape[0]
+        decs, fmp = acs_swar.acs_forward_batch_swar_soft(
+            spec, acs_swar._pack_qllrs(ext_p), interpret, init_chunk=-1)
+        rows = _swar_wrap_traceback(spec, decs, fmp, Bp, interpret,
+                                    True, msb_first)
+    else:
+        if msb_first:
+            raise ValueError("msb_first byte emit requires the SWAR path")
+        ext_p = _pad_to(ext, B_TILE, 0)
+        Bp = ext_p.shape[0]
+        decs, fm = acs_forward_batch_fused_soft(spec, ext_p, interpret,
+                                                init_chunk=-1)
+        am = jnp.argmin(fm, axis=0)
+        s_iota = jnp.arange(spec.num_states, dtype=jnp.int32)[:, None]
+        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
+        gmask = jnp.full((decs.shape[0], 1), 0xFF, jnp.int32)
+        rows = traceback_batch_fused_masked(spec, decs, gmask, h_init,
+                                            interpret)
+    return rows, Bp, wl
+
+
+def _bits_from_rows(packed, wl: int, T: int, B: int):
+    """[TG, Bp] packed bit rows -> [B, T] message bits (drop the wraps)."""
+    Te = packed.shape[0] * PACK
+    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
+    bits = ((packed[:, None, :] >> j) & 1).reshape(Te, packed.shape[1])
+    return bits[wl:wl + T, :B].T
+
+
+def _bytes_from_rows(rows, wl: int, T: int, B: int):
+    """[TG, Bp] msb_first byte rows -> [B, ceil(T/8)] decoded bytes
+    (drop the wraps, zero-mask the trailing partial byte —
+    viterbiDecoder.c:152-189's packed-output format).  `kernel_wraps`
+    keeps wl on a PACK boundary so message bytes are whole rows."""
+    g0 = wl // PACK
+    nbytes = -(-T // PACK)
+    out = rows[g0:g0 + nbytes]
+    rem = T % PACK
+    if rem:
+        mask = jnp.full((nbytes, 1), 0xFF, jnp.uint8)
+        mask = mask.at[-1, 0].set((0xFF << (PACK - rem)) & 0xFF)
+        out = out & mask
+    return out[:, :B].T
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def viterbi_decode_batch_tailbiting(spec: CodeSpec, segments,
                                     wrap: int | None = None,
@@ -65,46 +184,12 @@ def viterbi_decode_batch_tailbiting(spec: CodeSpec, segments,
     within the wrap (in-spec channels; the scan and kernel paths share
     tie conventions end to end).
     """
-    spec.validate_for_butterfly()
-    if spec.num_states < 64:
-        raise ValueError("kernel tail-biting decode requires NS >= 64; "
-                         "use ops.tailbiting.viterbi_decode_tailbiting")
+    _check_wrap_spec(spec, "")
     segments = jnp.asarray(segments, jnp.uint8)
     B, T = segments.shape
-    wl, wr = kernel_wraps(spec, T, wrap)
-    ext = circular_extend(segments, wl, wr, axis=-1)
-    Te = ext.shape[1]
-    NS = spec.num_states
-    TG = Te // PACK
-    gmask = jnp.full((TG, 1), 0xFF, jnp.int32)   # every step live
-    s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
-
-    if acs_swar.swar_supported(spec):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
-        Bp = ext_p.shape[0]
-        seg_packed = acs_swar._pack_channels(ext_p)
-        decs, fmp = acs_swar.acs_forward_batch_swar(
-            spec, seg_packed, interpret, init_chunk=-1)
-        fm = acs_swar.unpack_fields(fmp, Bp)         # (NS, Bp)
-        am = jnp.argmin(fm, axis=0)                  # ties -> lowest state
-        h_init = acs_swar.pack_fields(
-            (s_iota == am[None, :]).astype(jnp.int32))
-        out32 = acs_swar.traceback_batch_swar_masked(
-            spec, decs, gmask, h_init, interpret)
-        packed = acs_swar._unpack_out(out32, Bp)     # (TG, Bp)
-    else:
-        ext_p = _pad_to(ext, B_TILE, 0)
-        Bp = ext_p.shape[0]
-        decs, fm = acs_forward_batch_fused(spec, ext_p, interpret,
-                                           init_chunk=-1)
-        am = jnp.argmin(fm, axis=0)
-        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
-        packed = traceback_batch_fused_masked(spec, decs, gmask, h_init,
-                                              interpret)
-
-    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
-    bits = ((packed[:, None, :] >> j) & 1).reshape(Te, Bp)
-    return bits[wl:wl + T, :B].T
+    packed, Bp, wl = _hard_wrap_forward(spec, segments, wrap, interpret,
+                                        False)
+    return _bits_from_rows(packed, wl, T, B)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
@@ -116,10 +201,9 @@ def viterbi_decode_batch_tailbiting_bytes(spec: CodeSpec, segments,
     viterbiDecoder.c:152-189).  Returns uint8 [B, ceil(T/8)].
 
     On the SWAR route the traceback emits reference-convention bytes
-    directly; `kernel_wraps` keeps the left wrap on a byte-group
-    boundary so the message's bytes are whole traceback emit rows.
+    directly; non-SWAR codes pack the bit path's output instead.
     """
-    spec.validate_for_butterfly()
+    _check_wrap_spec(spec, "")
     segments = jnp.asarray(segments, jnp.uint8)
     B, T = segments.shape
     if not acs_swar.swar_supported(spec):
@@ -130,89 +214,9 @@ def viterbi_decode_batch_tailbiting_bytes(spec: CodeSpec, segments,
         if pad:
             bits = jnp.pad(bits, ((0, 0), (0, pad)))
         return pack_bits(bits)
-    wl, wr = kernel_wraps(spec, T, wrap)
-    ext = circular_extend(segments, wl, wr, axis=-1)
-    Te = ext.shape[1]
-    NS = spec.num_states
-    TG = Te // PACK
-    gmask = jnp.full((TG, 1), 0xFF, jnp.int32)
-    s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
-
-    ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
-    Bp = ext_p.shape[0]
-    seg_packed = acs_swar._pack_channels(ext_p)
-    decs, fmp = acs_swar.acs_forward_batch_swar(
-        spec, seg_packed, interpret, init_chunk=-1)
-    fm = acs_swar.unpack_fields(fmp, Bp)
-    am = jnp.argmin(fm, axis=0)
-    h_init = acs_swar.pack_fields((s_iota == am[None, :]).astype(jnp.int32))
-    out32 = acs_swar.traceback_batch_swar_masked(
-        spec, decs, gmask, h_init, interpret, False, True)   # msb_first
-    rows = acs_swar._unpack_out(out32, Bp)                   # (TG, Bp) bytes
-    g0 = wl // PACK
-    nbytes = -(-T // PACK)
-    out = rows[g0:g0 + nbytes]
-    rem = T % PACK
-    if rem:
-        mask = jnp.full((nbytes, 1), 0xFF, jnp.uint8)
-        mask = mask.at[-1, 0].set((0xFF << (PACK - rem)) & 0xFF)
-        out = out & mask
-    return out[:, :B].T
-
-
-def _soft_wrap_forward(spec: CodeSpec, qllrs, wrap, qmax: int,
-                       interpret: bool, msb_first: bool):
-    """Shared soft wrap-decode core: circular extend, uniform-start soft
-    forward (SWAR-8 / SWAR-16 / fused int32 by dispatch), masked
-    traceback from one-hot(argmin(final metrics)).  Returns
-    (rows [TG, Bp] uint8 — packed bits or msb_first bytes —, Bp, wl)."""
-    B, T, _ = qllrs.shape
-    wl, wr = kernel_wraps(spec, T, wrap)
-    ext = circular_extend(qllrs, wl, wr, axis=-2)
-    Te = ext.shape[1]
-    NS = spec.num_states
-    TG = Te // PACK
-    gmask = jnp.full((TG, 1), 0xFF, jnp.int32)   # every step live
-    s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
-
-    if acs_swar.swar8_soft_supported(spec, qmax):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
-        Bp = ext_p.shape[0]
-        cost_packed = acs_swar._pack_qllrs8(ext_p, qmax)
-        decs, fmp = acs_swar.acs_forward_batch_swar_soft8(
-            spec, cost_packed, qmax, interpret, init_chunk=-1)
-        fm = acs_swar.unpack_fields(fmp, Bp)
-        am = jnp.argmin(fm, axis=0)              # ties -> lowest state
-        h_init = acs_swar.pack_fields(
-            (s_iota == am[None, :]).astype(jnp.int32))
-        out32 = acs_swar.traceback_batch_swar_masked(
-            spec, decs, gmask, h_init, interpret, False, msb_first)
-        rows = acs_swar._unpack_out(out32, Bp)
-    elif acs_swar.swar_supported(spec):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE16, 0)
-        Bp = ext_p.shape[0]
-        cost_packed = acs_swar._pack_qllrs(ext_p)
-        decs, fmp = acs_swar.acs_forward_batch_swar_soft(
-            spec, cost_packed, interpret, init_chunk=-1)
-        fm = acs_swar.unpack_fields16(fmp, Bp)
-        am = jnp.argmin(fm, axis=0)
-        h_init = acs_swar.pack_fields16(
-            (s_iota == am[None, :]).astype(jnp.int32))
-        out32 = acs_swar.traceback_batch_swar_masked(
-            spec, decs, gmask, h_init, interpret, True, msb_first)
-        rows = acs_swar._unpack_out16(out32, Bp)
-    else:
-        ext_p = _pad_to(ext, B_TILE, 0)
-        Bp = ext_p.shape[0]
-        decs, fm = acs_forward_batch_fused_soft(spec, ext_p, interpret,
-                                                init_chunk=-1)
-        am = jnp.argmin(fm, axis=0)
-        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
-        if msb_first:
-            raise ValueError("msb_first byte emit requires the SWAR path")
-        rows = traceback_batch_fused_masked(spec, decs, gmask, h_init,
-                                            interpret)
-    return rows, Bp, wl
+    rows, Bp, wl = _hard_wrap_forward(spec, segments, wrap, interpret,
+                                      True)
+    return _bytes_from_rows(rows, wl, T, B)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
@@ -239,10 +243,7 @@ def viterbi_decode_batch_tailbiting_soft(spec: CodeSpec, qllrs,
     `wrap=kernel_wraps(spec, T, wrap)` wherever survivor paths merge
     within the wrap (the scan and kernel paths share tie conventions).
     """
-    spec.validate_for_butterfly()
-    if spec.num_states < 64:
-        raise ValueError("kernel tail-biting decode requires NS >= 64; "
-                         "use ops.tailbiting.viterbi_decode_tailbiting_soft")
+    _check_wrap_spec(spec, "_soft")
     qllrs = jnp.asarray(qllrs, jnp.int8)
     B, T, _ = qllrs.shape
     if qmax is None:
@@ -250,10 +251,7 @@ def viterbi_decode_batch_tailbiting_soft(spec: CodeSpec, qllrs,
         qmax = DEFAULT_QMAX
     packed, Bp, wl = _soft_wrap_forward(spec, qllrs, wrap, qmax,
                                         interpret, False)
-    Te = packed.shape[0] * PACK
-    j = jnp.arange(PACK, dtype=jnp.uint8).reshape(1, PACK, 1)
-    bits = ((packed[:, None, :] >> j) & 1).reshape(Te, Bp)
-    return bits[wl:wl + T, :B].T
+    return _bits_from_rows(packed, wl, T, B)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
@@ -264,13 +262,13 @@ def viterbi_decode_batch_tailbiting_soft_bytes(spec: CodeSpec, qllrs,
     """Byte twin of `viterbi_decode_batch_tailbiting_soft` (MSb-first
     fill, zero-padded trailing byte, viterbiDecoder.c:152-189 packed
     output semantics).  Returns uint8 [B, ceil(T/8)]."""
-    spec.validate_for_butterfly()
+    _check_wrap_spec(spec, "_soft")
     qllrs = jnp.asarray(qllrs, jnp.int8)
     B, T, _ = qllrs.shape
     if qmax is None:
         from ..ops.metrics import DEFAULT_QMAX
         qmax = DEFAULT_QMAX
-    if not acs_swar.swar_supported(spec):
+    if not acs_swar.swar_layout_supported(spec):
         from ..ops.bits import pack_bits
         bits = viterbi_decode_batch_tailbiting_soft(spec, qllrs, wrap,
                                                     interpret, qmax)
@@ -280,12 +278,4 @@ def viterbi_decode_batch_tailbiting_soft_bytes(spec: CodeSpec, qllrs,
         return pack_bits(bits)
     rows, Bp, wl = _soft_wrap_forward(spec, qllrs, wrap, qmax,
                                       interpret, True)
-    g0 = wl // PACK
-    nbytes = -(-T // PACK)
-    out = rows[g0:g0 + nbytes]
-    rem = T % PACK
-    if rem:
-        mask = jnp.full((nbytes, 1), 0xFF, jnp.uint8)
-        mask = mask.at[-1, 0].set((0xFF << (PACK - rem)) & 0xFF)
-        out = out & mask
-    return out[:, :B].T
+    return _bytes_from_rows(rows, wl, T, B)

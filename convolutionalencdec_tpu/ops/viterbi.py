@@ -333,6 +333,13 @@ def _decode_stream_from_bm(spec: CodeSpec, bm_all, traceback_len: int):
     T = bm_all.shape[0]
     if T < W:
         raise ValueError(f"packet of {T} segments shorter than traceback {W}")
+    if W <= spec.S:
+        # The flush emits state 0's register columns W-2 .. S; with
+        # W <= S that window is empty and the streamed prefix would
+        # include decoded termination steps as message symbols.
+        raise ValueError(f"traceback_len {W} must exceed S = {spec.S} "
+                         "(the flush drops the S termination steps from "
+                         "the register window, viterbiDecoder.c:194-221)")
 
     prev = jnp.asarray(prev_state_table(spec))
     u_of_dst = jnp.arange(NS, dtype=jnp.int32) & (E - 1)

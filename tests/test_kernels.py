@@ -206,3 +206,38 @@ def test_k2_fused_kernel_matches_scan():
         want = np.stack([np.asarray(viterbi_decode(spec, coded[b]))
                          for b in range(B)])
         np.testing.assert_array_equal(got, want)
+
+
+def test_rate13_soft_rides_swar16():
+    """Rate-1/3 K=7 fails the HARD 8-bit metric bound but the 16-bit
+    soft fields have ample headroom — the SWAR-16 dispatch must gate on
+    the layout predicate, not the hard bound (code-review round 2)."""
+    from convolutionalencdec_tpu.kernels.acs_swar import (
+        swar_layout_supported, swar_supported)
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
+    from convolutionalencdec_tpu.ops.metrics import viterbi_decode_soft
+    from convolutionalencdec_tpu.params import NASA_K7_R13
+    spec = NASA_K7_R13
+    assert swar_layout_supported(spec) and not swar_supported(spec)
+    rng = np.random.default_rng(53)
+    B, L = 2, 75
+    q = rng.integers(-9, 10, (B, L + spec.S, spec.n)).astype(np.int8)
+    got = np.asarray(viterbi_decode_batch_soft(spec, q, interpret=True,
+                                               qmax=9))
+    ref = np.asarray(jax.vmap(
+        lambda qq: viterbi_decode_soft(spec, qq.astype(np.int32)))(q))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_swar_entry_rejects_underaligned_shapes():
+    """Under-aligned packed inputs would silently return unwritten
+    output (empty or partial grid) — they must raise instead."""
+    import jax.numpy as jnp
+    from convolutionalencdec_tpu.kernels.acs_swar import (
+        LANES, acs_forward_batch_swar)
+    from convolutionalencdec_tpu import NASA_K7
+    with pytest.raises(ValueError, match="padded shapes"):
+        acs_forward_batch_swar(NASA_K7, jnp.zeros((48, LANES // 2),
+                                                  jnp.int32))
+    with pytest.raises(ValueError, match="padded shapes"):
+        acs_forward_batch_swar(NASA_K7, jnp.zeros((47, LANES), jnp.int32))

@@ -2,6 +2,7 @@
 reference's convEnc / viterbiDecoderHard seam (SURVEY.md §5)."""
 
 import numpy as np
+import pytest
 
 from convolutionalencdec_tpu import (
     NASA_K7, encode_bits, viterbi_decode_stream,
@@ -182,3 +183,16 @@ def test_streaming_batch_kernel_single_plane_w32():
     want = np.stack([np.asarray(viterbi_decode_stream(spec, coded[b], 32))
                      for b in range(B)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_stream_traceback_len_must_exceed_s():
+    """W <= S would stream decoded termination steps as message bits
+    (the flush window is empty) — reject it (code-review round 2)."""
+    segs = np.zeros(64, np.uint8)
+    with pytest.raises(ValueError, match="must exceed S"):
+        viterbi_decode_stream(NASA_K7, segs,
+                              traceback_len=NASA_K7.S)
+    # W = S + 1 is the smallest legal window and must work.
+    out = viterbi_decode_stream(NASA_K7, segs,
+                                traceback_len=NASA_K7.S + 1)
+    assert np.asarray(out).shape == (64 - NASA_K7.S,)
