@@ -26,8 +26,12 @@ the reference's 1-bit-per-state-per-step packing
 (viterbiDecoder.h:139-145): one byte field per channel per 8-step
 group, bit j = step j's survivor choice.
 
-Restricted to hard-decision, NUM_STATES >= 64, n <= 4 codes (the
-headline NASA K=7 class plus K=9); other configurations use acs_pallas.
+Restricted to k=1 poly-symmetric NUM_STATES >= 64, n <= 4 codes (the
+headline NASA K=7 class, rate-1/3 TBCC, and K=9), hard + soft (16-bit
+or bounded 8-bit LLR fields); other configurations use acs_pallas.
+Hard rate-1/2 renorms every 24 steps; n >= 3 exceeds that cadence's
+127 guard bound and renorms after every stage-2 step instead
+(_dense_renorm_ok).
 """
 from __future__ import annotations
 
@@ -68,12 +72,36 @@ def swar_layout_supported(spec: CodeSpec) -> bool:
             and spec.has_poly_symmetry)
 
 
+def _sparse_renorm_ok(spec: CodeSpec) -> bool:
+    """Whether HARD metrics stay under the 127 guard-bit bound with the
+    cheap 24-step renorm cadence: worst case init_hi + 24 steps of
+    growth (+ the edge metric) between renorms.  Rate-1/2 codes pass;
+    n >= 3 needs the dense cadence below."""
+    return init_metric_value(spec) + 25 * spec.n <= 127
+
+
+def _dense_renorm_ok(spec: CodeSpec) -> bool:
+    """Whether HARD metrics fit 8-bit fields with a renorm after EVERY
+    stage-2 step (3-step cadence, the soft-8 kernel's schedule):
+
+        max(init_hi, S*n) + 3*n <= 127
+
+    — steady-state spread is at most S*n (every state reachable from
+    the minimum-metric survivor within S steps at <= n per edge, the
+    truncation geometry of viterbiDecoder.c:53-74); warm-up fields are
+    bounded by init_hi + growth.  Admits every practical n <= 4 code,
+    at ~10 extra vector ops per 3 steps."""
+    growth = 3 * spec.n
+    spread = max(init_metric_value(spec), spec.S * spec.n)
+    return spread + growth <= 127
+
+
 def swar_supported(spec: CodeSpec) -> bool:
-    """HARD decode in 8-bit fields (4 channels/lane): the layout plus
-    metric fields that stay under the 127 guard-bit bound — worst case
-    init_hi + 24 steps of growth (+ the edge metric) between renorms."""
+    """HARD decode in 8-bit fields (4 channels/lane): the layout plus a
+    renorm cadence whose guard-bit bound holds (the forward kernel
+    picks the cheaper cadence automatically)."""
     return (swar_layout_supported(spec)
-            and init_metric_value(spec) + 25 * spec.n <= 127)
+            and (_sparse_renorm_ok(spec) or _dense_renorm_ok(spec)))
 
 
 def swar8_soft_supported(spec: CodeSpec, qmax: int) -> bool:
@@ -137,7 +165,8 @@ def _swar_min(a, b, unit=UNIT, bias=B127, sh=7, selmul=0xFF):
     return a ^ ((a ^ b) & (ge * selmul))
 
 
-def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store):
+def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store,
+                         dense_renorm: bool = False):
     """One CHUNK_F-step SWAR forward pass (hard decision).
 
     `g_ref`: (3*n, HALF, 1) int32 branch-bit masks (_branch_masks).
@@ -145,12 +174,28 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store):
     start; `dec_store(g, acc8)` receives the group's 8 packed decision
     blocks ((Q8, 128) int32, one byte field per channel).  Structure is
     _fwd_chunk_body's fused 3-stage pipeline, field-parallel.
+
+    `dense_renorm` renorms after EVERY stage-2 step instead of every
+    24 steps — required when `_sparse_renorm_ok` fails (n >= 3 codes);
+    see `_dense_renorm_ok` for the bound.
     """
     NS = spec.num_states
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
     n = spec.n
     seg = seg_ref[:]                          # (CHUNK_F, 128) int32 packed
     G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
+
+    def renorm(mm):
+        # Per-channel scalar min across states, subtracted from all:
+        # compare-invariant (viterbiDecoderButterflyk1.c:159-183's
+        # argument), keeps every field non-negative with min 0.
+        mn = mm[:Q8]
+        for b_ in range(1, 8):
+            mn = _swar_min(mn, mm[b_ * Q8:(b_ + 1) * Q8])
+        while mn.shape[0] > 1:
+            h_ = mn.shape[0] // 2
+            mn = _swar_min(mn[:h_], mn[h_:])
+        return mm - mn                        # broadcast (1,128)
 
     mA = mB = None
     for g in range(GPC):
@@ -199,17 +244,13 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store):
                     add_acc(do, (2 * c + 1) * Q8)
                 m = jnp.stack(outs, axis=0).transpose(1, 0, 2) \
                        .reshape(NS, LANES)
-        # Renorm on groups that end on a stage-2 step (every 24 steps):
-        # worst-case growth 48*n/24... fields stay <= ~116 < 127, the
-        # guard-bit compare's validity bound.
-        if (g * PACK + PACK - 1) % 3 == 2:
-            mn = m[:Q8]
-            for b_ in range(1, 8):
-                mn = _swar_min(mn, m[b_ * Q8:(b_ + 1) * Q8])
-            while mn.shape[0] > 1:
-                h_ = mn.shape[0] // 2
-                mn = _swar_min(mn[:h_], mn[h_:])
-            m = m - mn                         # broadcast (1,128)
+                if dense_renorm:
+                    m = renorm(m)
+        # Sparse cadence: renorm on groups that end on a stage-2 step
+        # (every 24 steps) — worst-case fields stay <= ~116 < 127, the
+        # guard-bit compare's validity bound (_sparse_renorm_ok).
+        if not dense_renorm and (g * PACK + PACK - 1) % 3 == 2:
+            m = renorm(m)
         dec_store(g, acc)
     return m
 
@@ -460,6 +501,7 @@ def _fwd_kernel_swar(spec: CodeSpec):
     NS = spec.num_states
     Q8 = NS // 8
     init_hi = init_metric_value(spec)   # swar_supported bounds it
+    dense = not _sparse_renorm_ok(spec)  # n >= 3: renorm every 3 steps
 
     def kernel(ic_ref, g_ref, seg_ref, dec_ref, fm_ref, m_ref):
         # ic_ref: (1, 1) int32 SMEM — chunk at which the standard initial
@@ -483,7 +525,8 @@ def _fwd_kernel_swar(spec: CodeSpec):
             for b_ in range(8):
                 dec_ref[g, b_ * Q8:(b_ + 1) * Q8, :] = acc[b_]
 
-        m = _fwd_chunk_body_swar(spec, g_ref, seg_ref, m_ref[:], dec_store)
+        m = _fwd_chunk_body_swar(spec, g_ref, seg_ref, m_ref[:],
+                                 dec_store, dense_renorm=dense)
         m_ref[:] = m
         fm_ref[:] = m
 

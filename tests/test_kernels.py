@@ -209,16 +209,17 @@ def test_k2_fused_kernel_matches_scan():
 
 
 def test_rate13_soft_rides_swar16():
-    """Rate-1/3 K=7 fails the HARD 8-bit metric bound but the 16-bit
-    soft fields have ample headroom — the SWAR-16 dispatch must gate on
-    the layout predicate, not the hard bound (code-review round 2)."""
+    """Rate-1/3 K=7 fails the hard path's 24-step renorm bound but the
+    16-bit soft fields have ample headroom — the SWAR-16 dispatch must
+    gate on the layout predicate, not a hard-metric bound
+    (code-review round 2)."""
     from convolutionalencdec_tpu.kernels.acs_swar import (
-        swar_layout_supported, swar_supported)
+        _sparse_renorm_ok, swar_layout_supported)
     from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
     from convolutionalencdec_tpu.ops.metrics import viterbi_decode_soft
     from convolutionalencdec_tpu.params import NASA_K7_R13
     spec = NASA_K7_R13
-    assert swar_layout_supported(spec) and not swar_supported(spec)
+    assert swar_layout_supported(spec) and not _sparse_renorm_ok(spec)
     rng = np.random.default_rng(53)
     B, L = 2, 75
     q = rng.integers(-9, 10, (B, L + spec.S, spec.n)).astype(np.int8)
@@ -241,3 +242,20 @@ def test_swar_entry_rejects_underaligned_shapes():
                                                   jnp.int32))
     with pytest.raises(ValueError, match="padded shapes"):
         acs_forward_batch_swar(NASA_K7, jnp.zeros((47, LANES), jnp.int32))
+
+
+def test_rate13_hard_rides_swar_dense_renorm():
+    """n=3 exceeds the 24-step renorm cadence's guard bound; the dense
+    (every stage-2 step) cadence must engage and stay bit-exact."""
+    from convolutionalencdec_tpu.kernels.acs_swar import (
+        _sparse_renorm_ok, swar_supported)
+    from convolutionalencdec_tpu.params import LTE_TBCC_K7, NASA_K7_R13
+    for spec in (NASA_K7_R13, LTE_TBCC_K7):
+        assert swar_supported(spec) and not _sparse_renorm_ok(spec)
+    spec = NASA_K7_R13
+    rng = np.random.default_rng(59)
+    msgs, coded = _noisy_batch(spec, rng, 3, 150, 0.05)
+    ref = np.asarray(jax.vmap(lambda c: viterbi_decode(spec, c))(coded))
+    got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got, msgs)
