@@ -63,3 +63,45 @@ def test_fuzz_spec_three_way_equivalence(spec):
         np.testing.assert_array_equal(scan[b], oracle_decode(spec, coded[b]))
     kern = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
     np.testing.assert_array_equal(kern, scan)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_fuzz_spec_bytes_and_ragged(spec):
+    """The byte and ragged surfaces must stay consistent with the bit
+    decoders on generated codes too (packed MSb-first byte semantics,
+    per-channel-length masking)."""
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_bytes, viterbi_decode_batch_ragged)
+    from convolutionalencdec_tpu.ops.bits import pack_bits
+    from convolutionalencdec_tpu import viterbi_decode_ragged
+    rng = np.random.default_rng(spec.K * 77 + spec.k * 7 + spec.n)
+    lens = [32 * spec.k, 16 * spec.k, 29 * spec.k]
+    T = [ln // spec.k + spec.S for ln in lens]
+    Tmax = max(T)
+    segs = rng.integers(0, 2 ** spec.n, (len(lens), Tmax), np.uint8)
+    for b, ln in enumerate(lens):
+        msg = rng.integers(0, 2, ln, dtype=np.uint8)
+        coded = np.asarray(encode_bits(spec, msg)[0]).copy()
+        flip = rng.random(coded.shape) < 0.05
+        coded ^= (flip * rng.integers(1, 2 ** spec.n, coded.shape)
+                  ).astype(np.uint8)
+        segs[b, : T[b]] = coded
+    seg_lens = np.asarray(T, np.int32)
+    # ragged kernel == per-channel scan
+    ref = np.zeros((len(lens), (Tmax - spec.S) * spec.k), np.uint8)
+    for b in range(len(lens)):
+        bits = np.asarray(viterbi_decode(spec, segs[b, : T[b]]))
+        ref[b, : bits.shape[0]] = bits
+    got = np.asarray(viterbi_decode_batch_ragged(spec, segs, seg_lens,
+                                                 interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    scan_r = np.asarray(viterbi_decode_ragged(spec, segs, seg_lens))
+    np.testing.assert_array_equal(scan_r, ref)
+    # bytes == pack_bits(bits) on a rectangular batch
+    rect = np.stack([segs[0, : T[0]]] * 2)
+    bits = np.asarray(viterbi_decode_batch(spec, rect, interpret=True))
+    pad = (-bits.shape[-1]) % 8
+    exp = np.asarray(pack_bits(np.pad(bits, ((0, 0), (0, pad)))))
+    by = np.asarray(viterbi_decode_batch_bytes(spec, rect,
+                                               interpret=True))
+    np.testing.assert_array_equal(by, exp)
