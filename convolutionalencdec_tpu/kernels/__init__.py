@@ -16,6 +16,8 @@ from .acs_pallas import (
     viterbi_decode_batch_soft,
     viterbi_decode_batch_bytes,
     viterbi_decode_batch_soft_bytes,
+    viterbi_decode_batch_punctured,
+    viterbi_decode_batch_punctured_soft,
     viterbi_decode_batch_ragged,
     viterbi_decode_batch_bytes_ragged,
     viterbi_decode_batch_soft_bytes_ragged,
@@ -43,6 +45,8 @@ __all__ = [
     "viterbi_decode_batch_soft",
     "viterbi_decode_batch_bytes",
     "viterbi_decode_batch_soft_bytes",
+    "viterbi_decode_batch_punctured",
+    "viterbi_decode_batch_punctured_soft",
     "viterbi_decode_batch_ragged",
     "viterbi_decode_batch_bytes_ragged",
     "viterbi_decode_batch_soft_bytes_ragged",

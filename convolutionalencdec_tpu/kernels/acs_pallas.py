@@ -1612,6 +1612,63 @@ def viterbi_decode_batch_soft_bytes(spec: CodeSpec, qllrs,
     return pack_bits(bits)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def viterbi_decode_batch_punctured(spec: CodeSpec, rx_bits, pattern,
+                                   T: int,
+                                   message_bits: int | None = None,
+                                   interpret: bool = False):
+    """One-call batched decode of HARD punctured streams.
+
+    Composes the depuncturing erasure insertion (ops/puncture.py — a
+    beyond-reference capability, BASELINE scope) with the soft kernels:
+    received hard bits become ±1 pseudo-LLRs, punctured positions
+    zero-LLR erasures, and qmax=1 satisfies the SWAR-8 field bound, so
+    a rate-2/3 or 3/4 punctured stream decodes at 4-channels-per-lane
+    kernel speed in one call.
+
+    Args:
+      rx_bits: uint8 [B, kept] received (punctured) coded bits in
+        transmission order (puncture_bits' output order).
+      pattern: static (n, period) 0/1 puncture pattern (tuples).
+      T: mother-code trellis steps (kept = puncture_mask(pattern, T).sum()).
+      message_bits: decoded bit count; defaults to (T - S) * k.
+    Returns:
+      uint8 [B, L] decoded message bits.
+    """
+    from ..ops.metrics import hard_bits_to_qllrs
+    from ..ops.puncture import depuncture_llrs
+    B = rx_bits.shape[0]
+    q = hard_bits_to_qllrs(jnp.asarray(rx_bits))
+    full = depuncture_llrs(q, pattern, T)
+    qllrs = full.reshape(B, T, spec.n).astype(jnp.int8)
+    return viterbi_decode_batch_soft(spec, qllrs, message_bits,
+                                     interpret, qmax=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+def viterbi_decode_batch_punctured_soft(spec: CodeSpec, qllrs, pattern,
+                                        T: int,
+                                        message_bits: int | None = None,
+                                        interpret: bool = False,
+                                        qmax: int | None = None):
+    """One-call batched SOFT decode of punctured streams.
+
+    Args:
+      qllrs: int8 [B, kept] quantized LLRs of the TRANSMITTED bits, in
+        transmission order; punctured positions are re-inserted here as
+        zero-LLR erasures (no cost to either hypothesis).
+      pattern, T: as `viterbi_decode_batch_punctured`.
+    Returns:
+      uint8 [B, L] decoded message bits.
+    """
+    from ..ops.puncture import depuncture_llrs
+    B = qllrs.shape[0]
+    full = depuncture_llrs(jnp.asarray(qllrs, jnp.int8), pattern, T)
+    return viterbi_decode_batch_soft(spec,
+                                     full.reshape(B, T, spec.n),
+                                     message_bits, interpret, qmax)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def viterbi_decode_batch_ragged(spec: CodeSpec, segments, seg_lengths,
                                 interpret: bool = False):

@@ -138,3 +138,38 @@ def test_quantize_llrs_range_and_sign():
     qa = np.asarray(quantize_llrs(llr, qmax=7))
     assert qa.min() >= -7 and qa.max() <= 7
     assert qa[0] < 0 < qa[-1] and qa[2] == 0
+
+
+@pytest.mark.parametrize("pattern", [PUNCTURE_2_3, PUNCTURE_3_4],
+                         ids=["r23", "r34"])
+def test_batch_punctured_one_call(pattern):
+    """One-call batched punctured decode == the manual depuncture +
+    soft-scan pipeline, and corrects sparse errors at kernel speed."""
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_punctured,
+        viterbi_decode_batch_punctured_soft)
+    spec = NASA_K7
+    rng = np.random.default_rng(6)
+    B, L = 3, 240
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0])
+    T = coded.shape[-1]
+    cbits = np.asarray(segments_to_bits(coded, spec.n))
+    tx = np.asarray(puncture_bits(cbits, pattern, T)).copy()
+    for pos in range(7, tx.shape[-1], 160):
+        tx[:, pos] ^= 1
+    got = np.asarray(viterbi_decode_batch_punctured(
+        spec, tx, pattern, T, interpret=True))
+    # reference: per-channel scan over manually depunctured LLRs
+    rx_llr = 1 - 2 * tx.astype(np.int32)
+    full = np.asarray(depuncture_llrs(rx_llr, pattern, T))
+    for b in range(B):
+        ref = np.asarray(viterbi_decode_soft(
+            spec, full[b].reshape(T, spec.n)))
+        np.testing.assert_array_equal(got[b], ref)
+        np.testing.assert_array_equal(got[b], msgs[b])
+    # soft one-call with the same ±1 LLRs must agree
+    got_s = np.asarray(viterbi_decode_batch_punctured_soft(
+        spec, rx_llr.astype(np.int8), pattern, T, interpret=True,
+        qmax=1))
+    np.testing.assert_array_equal(got_s, got)
