@@ -33,11 +33,13 @@ from ..params import CodeSpec
 from .trellis import butterfly_coded_bits, edge_coded_bits
 from .viterbi import init_metric_value, traceback_terminated
 
-#: Default quantizer ceiling.  In-kernel path metrics are int32 (the TPU
-#: vector ALU is int32-only; narrow dtypes are HBM-side storage only), so
-#: overflow is never the constraint — what qmax=7 bounds is the metric
-#: *spread* (<= qmax*n*S), which `init_metric_value`'s clamp relies on, and
-#: the MXU edge-metric planes' dynamic range.  3-bit magnitudes give up only
+#: Default quantizer ceiling.  What qmax=7 bounds is the metric *spread*
+#: (<= qmax*n*S), which `init_metric_value`'s clamp relies on, the MXU
+#: edge-metric planes' dynamic range, and — decisively — the SWAR-8 soft
+#: kernels' 8-bit field budget (kernels/acs_swar.swar8_soft_supported:
+#: qmax=7 is the largest value that keeps 4-channels-per-lane decode
+#: exact for the NASA K=7 code; larger magnitudes fall back to 16-bit
+#: fields at half the channel density).  3-bit magnitudes give up only
 #: ~0.1-0.2 dB versus unquantized soft decoding.
 DEFAULT_QMAX = 7
 
