@@ -61,6 +61,20 @@ SWAR_TILE16 = 2 * LANES    # channels per kernel tile (soft, 16-bit fields)
 GPC = CHUNK_F // PACK
 
 
+def tile_lanes(spec: CodeSpec) -> int:
+    """Per-spec kernel tile width in lanes.
+
+    Two-vreg (256-lane) tiles feed the VPU's dual issue slots at NS=64
+    (fwd 238 -> 217 us).  At NS >= 256 the per-tile live set quadruples
+    (metrics NS x LANES plus 8 decision-accumulator blocks of
+    (NS/8, LANES)) and the two-vreg win inverts — one-vreg tiles
+    measured faster on v5e for K=9: fwd 1089 -> 933 us, tb 490 -> 446
+    us (scripts/k9_probe.py).  Only the grid/tile width changes; the
+    packed channel mapping stays the module-constant LANES, so packs
+    and kernels of different widths compose."""
+    return 128 if spec.num_states >= 256 else LANES
+
+
 def swar_layout_supported(spec: CodeSpec) -> bool:
     """Whether the SWAR kernels' LAYOUT applies: k=1 poly-symmetric
     butterfly trellis on the fused 3-stage schedule (NS >= 64) with
@@ -181,6 +195,7 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store,
     """
     NS = spec.num_states
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
+    LANES = tile_lanes(spec)
     n = spec.n
     seg = seg_ref[:]                          # (CHUNK_F, 128) int32 packed
     G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
@@ -272,6 +287,7 @@ def _fwd_chunk_body_swar_soft(spec: CodeSpec, g_ref, cost_ref, m,
     """
     NS = spec.num_states
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
+    LANES = tile_lanes(spec)
     n = spec.n
     qplanes = cost_ref[:]                     # (n, CHUNK_F, 128)
     C128 = UNIT16 << 7                        # +128 per field
@@ -363,6 +379,7 @@ def _fwd_chunk_body_swar_soft8(spec: CodeSpec, qmax: int, g_ref, cost_ref,
     recovered in-kernel, zero LLRs are free erasures, emc = Q - em)."""
     NS = spec.num_states
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
+    LANES = tile_lanes(spec)
     n = spec.n
     qplanes = cost_ref[:]                     # (n, CHUNK_F, 128)
     CQ = qmax * UNIT                          # +qmax bias per field
@@ -447,6 +464,7 @@ def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit, unit=UNIT,
     (viterbiDecoder.c:152-189 MSb-first fill), at zero kernel cost."""
     NS = spec.num_states
     Q8 = NS // 8
+    LANES = tile_lanes(spec)
     for g in range(GPC - 1, -1, -1):
         dec32 = get_dec(g)
         db = [dec32[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
@@ -500,6 +518,7 @@ def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit, unit=UNIT,
 def _fwd_kernel_swar(spec: CodeSpec):
     NS = spec.num_states
     Q8 = NS // 8
+    LANES = tile_lanes(spec)
     init_hi = init_metric_value(spec)   # swar_supported bounds it
     dense = not _sparse_renorm_ok(spec)  # n >= 3: renorm every 3 steps
 
@@ -538,6 +557,7 @@ def _tb_kernel_swar(spec: CodeSpec, unit=UNIT, selmul=0xFF,
                     per_channel=False):
     NS = spec.num_states
     Q8 = NS // 8
+    LANES = tile_lanes(spec)
 
     def kernel(*refs):
         # with_hinit: hinit_ref is a (NS, B4) packed one-hot walk start
@@ -610,14 +630,14 @@ def _unpack_out(out32, B):
     return o.reshape(TG, B).astype(jnp.uint8)
 
 
-def _check_swar_shapes(T: int, B4: int):
+def _check_swar_shapes(T: int, B4: int, lanes: int = LANES):
     """The SWAR grids tile T by CHUNK_F and lanes by LANES; anything
     under-aligned would leave grid remainders unprocessed (silently
     returning unwritten output), so reject it — the wrappers in
     acs_pallas pad before packing."""
-    if T % CHUNK_F or B4 % LANES:
+    if T % CHUNK_F or B4 % lanes:
         raise ValueError(f"padded shapes required: T={T} % {CHUNK_F} or "
-                         f"packed lanes B4={B4} % {LANES} nonzero")
+                         f"packed lanes B4={B4} % {lanes} nonzero")
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -630,7 +650,8 @@ def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
     int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     T, B4 = seg_packed.shape
-    _check_swar_shapes(T, B4)
+    LANES = tile_lanes(spec)
+    _check_swar_shapes(T, B4, LANES)
     nt = T // CHUNK_F
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec))
@@ -665,7 +686,8 @@ def traceback_batch_swar(spec: CodeSpec, decs, t_actual: int,
     decoded byte, step g*8+j at bit 7-j)."""
     NS = spec.num_states
     TG, _, B4 = decs.shape
-    _check_swar_shapes(TG * PACK, B4)
+    LANES = tile_lanes(spec)
+    _check_swar_shapes(TG * PACK, B4, LANES)
     nt = TG // GPC
     nb = B4 // LANES
     gmask = jnp.asarray(_group_masks(TG, int(t_actual)))
@@ -708,6 +730,7 @@ def traceback_batch_swar_masked(spec: CodeSpec, decs, gmask, h_init,
     """
     NS = spec.num_states
     TG, _, B4 = decs.shape
+    LANES = tile_lanes(spec)
     nt = TG // GPC
     nb = B4 // LANES
     gmask = jnp.asarray(gmask, jnp.int32).reshape(TG, 1)
@@ -763,6 +786,7 @@ def traceback_batch_swar_ragged(spec: CodeSpec, decs, gmask_packed,
     """
     NS = spec.num_states
     TG, _, B4 = decs.shape
+    LANES = tile_lanes(spec)
     nt = TG // GPC
     nb = B4 // LANES
     return pl.pallas_call(
@@ -979,6 +1003,7 @@ def swar_decode_bytes_ragged_soft(spec: CodeSpec, qllrs, seg_lengths,
 def _fwd_kernel_swar_soft(spec: CodeSpec):
     NS = spec.num_states
     Q8 = NS // 8
+    LANES = tile_lanes(spec)
     init_hi = init_metric_value(spec)
 
     def kernel(ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref):
@@ -1021,7 +1046,8 @@ def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
     metrics [NS, B2] int32)."""
     NS = spec.num_states
     n2, T, B2 = cost_packed.shape
-    _check_swar_shapes(T, B2)
+    LANES = tile_lanes(spec)
+    _check_swar_shapes(T, B2, LANES)
     nt = T // CHUNK_F
     nb = B2 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))
@@ -1084,6 +1110,7 @@ def swar_decode_packed_soft(spec: CodeSpec, qllrs, t_actual: int,
 def _fwd_kernel_swar_soft8(spec: CodeSpec, qmax: int):
     NS = spec.num_states
     Q8 = NS // 8
+    LANES = tile_lanes(spec)
     init_hi = init_metric_value(spec)
 
     def kernel(ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref):
@@ -1122,7 +1149,8 @@ def acs_forward_batch_swar_soft8(spec: CodeSpec, cost_packed,
     [T//PACK, NS, B4] int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     n2, T, B4 = cost_packed.shape
-    _check_swar_shapes(T, B4)
+    LANES = tile_lanes(spec)
+    _check_swar_shapes(T, B4, LANES)
     nt = T // CHUNK_F
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))
