@@ -28,7 +28,7 @@ from convolutionalencdec_tpu.params import K9_561_753
 
 spec = K9_561_753
 B = 2048
-T = 2064 if C == 48 else 2040   # T % CHUNK_F == 0
+T = int(os.environ.get("T", "2064" if C == 48 else "2040"))  # T % CHUNK_F == 0
 rng = np.random.default_rng(0)
 seg = jnp.asarray(rng.integers(0, 4, (B, T), dtype=np.uint8))
 

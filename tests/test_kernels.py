@@ -259,3 +259,46 @@ def test_rate13_hard_rides_swar_dense_renorm():
     got = np.asarray(viterbi_decode_batch(spec, coded, interpret=True))
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_array_equal(got, msgs)
+
+
+def test_ns256_tile_dispatch_soft_and_ragged():
+    """NS >= 256 routes through one-vreg (128-lane) kernel tiles
+    (acs_swar.tile_lanes) while the packed channel mapping stays at the
+    module constant — this exercises the narrow-tile dispatch across
+    the soft-16 and ragged surfaces at NS=256, bit-exact vs the scan
+    references (viterbiDecoder.c:52-234 semantics)."""
+    import convolutionalencdec_tpu as fec
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_ragged, viterbi_decode_batch_soft)
+    from convolutionalencdec_tpu.kernels.acs_swar import tile_lanes
+    from convolutionalencdec_tpu.ops.metrics import (
+        hard_bits_to_qllrs, viterbi_decode_soft)
+    from convolutionalencdec_tpu.ops.viterbi import viterbi_decode_ragged
+
+    spec = fec.K9_561_753
+    assert tile_lanes(spec) == 128 and tile_lanes(NASA_K7) == 256
+    rng = np.random.default_rng(41)
+
+    # soft-16 (any-LLR) path at NS=256
+    msgs, coded = _noisy_batch(spec, rng, 2, 120, 0.04)
+    q = np.zeros((2, coded.shape[1], spec.n), np.int32)
+    for j in range(spec.n):
+        q[..., j] = 5 * (1 - 2 * ((coded >> j) & 1).astype(np.int32))
+    got = np.asarray(viterbi_decode_batch_soft(spec, q, interpret=True))
+    want = np.stack([np.asarray(viterbi_decode_soft(spec, q[b]))
+                     for b in range(2)])
+    np.testing.assert_array_equal(got, want)
+
+    # ragged path at NS=256 (mixed lengths in one kernel call)
+    lens = [64, 120]
+    Tmax = max(ln + spec.S for ln in lens)
+    segs = np.zeros((2, Tmax), np.uint8)
+    for b, ln in enumerate(lens):
+        msg = rng.integers(0, 2, ln, dtype=np.uint8)
+        cw = np.asarray(encode_bits(spec, msg)[0])
+        segs[b, :cw.shape[0]] = cw
+    seg_lens = np.asarray([ln + spec.S for ln in lens], np.int32)
+    got = np.asarray(
+        viterbi_decode_batch_ragged(spec, segs, seg_lens, interpret=True))
+    want = np.asarray(viterbi_decode_ragged(spec, segs, seg_lens))
+    np.testing.assert_array_equal(got, want)
