@@ -76,6 +76,15 @@ def main():
         if dt > 3.0:
             break
         iters *= 4
+    # Best of 3 windows: transient host-side contention (the tunnel
+    # dispatch shares the box) can stall the enqueue loop; the best
+    # window is the steady-state device rate.
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = decode(coded_dev)
+        out.block_until_ready()
+        dt = min(dt, time.perf_counter() - t0)
 
     if "--profile" in sys.argv:
         # jax.profiler trace of the steady-state loop + analytic HBM

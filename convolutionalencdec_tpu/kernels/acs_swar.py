@@ -61,17 +61,23 @@ SWAR_TILE16 = 2 * LANES    # channels per kernel tile (soft, 16-bit fields)
 GPC = CHUNK_F // PACK
 
 
+TILE_LANES_OVERRIDE = None  # probe knob: force a tile width (scripts/k9_probe.py)
+
+
 def tile_lanes(spec: CodeSpec) -> int:
     """Per-spec kernel tile width in lanes.
 
     Two-vreg (256-lane) tiles feed the VPU's dual issue slots at NS=64
     (fwd 238 -> 217 us).  At NS >= 256 the per-tile live set quadruples
-    (metrics NS x LANES plus 8 decision-accumulator blocks of
-    (NS/8, LANES)) and the two-vreg win inverts — one-vreg tiles
+    (metrics NS x tile_lanes plus 8 decision-accumulator blocks of
+    (NS/8, tile_lanes)) and the two-vreg win inverts — one-vreg tiles
     measured faster on v5e for K=9: fwd 1089 -> 933 us, tb 490 -> 446
     us (scripts/k9_probe.py).  Only the grid/tile width changes; the
     packed channel mapping stays the module-constant LANES, so packs
-    and kernels of different widths compose."""
+    and kernels of different widths compose.  Set TILE_LANES_OVERRIDE
+    (module global, probes only) to force a width for A/B timing."""
+    if TILE_LANES_OVERRIDE is not None:
+        return TILE_LANES_OVERRIDE
     return 128 if spec.num_states >= 256 else LANES
 
 
@@ -184,9 +190,10 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store,
     """One CHUNK_F-step SWAR forward pass (hard decision).
 
     `g_ref`: (3*n, HALF, 1) int32 branch-bit masks (_branch_masks).
-    `m` is the packed (NS, 128) natural-order metric value at chunk
+    `m` is the packed (NS, L) natural-order metric value at chunk
     start; `dec_store(g, acc8)` receives the group's 8 packed decision
-    blocks ((Q8, 128) int32, one byte field per channel).  Structure is
+    blocks ((Q8, L) int32, one byte field per channel; L = tile_lanes(spec)).
+    Structure is
     _fwd_chunk_body's fused 3-stage pipeline, field-parallel.
 
     `dense_renorm` renorms after EVERY stage-2 step instead of every
@@ -197,7 +204,7 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store,
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
     LANES = tile_lanes(spec)
     n = spec.n
-    seg = seg_ref[:]                          # (CHUNK_F, 128) int32 packed
+    seg = seg_ref[:]                          # (CHUNK_F, L) int32 packed
     G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
 
     def renorm(mm):
@@ -210,7 +217,7 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store,
         while mn.shape[0] > 1:
             h_ = mn.shape[0] // 2
             mn = _swar_min(mn[:h_], mn[h_:])
-        return mm - mn                        # broadcast (1,128)
+        return mm - mn                        # broadcast (1, L)
 
     mA = mB = None
     for g in range(GPC):
@@ -224,7 +231,7 @@ def _fwd_chunk_body_swar(spec: CodeSpec, g_ref, seg_ref, m, dec_store,
         for j in range(PACK):
             t_row = g * PACK + j
             stage = t_row % 3
-            row = seg[t_row:t_row + 1, :]     # (1, 128)
+            row = seg[t_row:t_row + 1, :]     # (1, L)
             planes = [(row >> b) & UNIT for b in range(n)]
             em = planes[0] ^ G[stage][0]
             for b in range(1, n):
@@ -276,7 +283,8 @@ def _fwd_chunk_body_swar_soft(spec: CodeSpec, g_ref, cost_ref, m,
 
     `g_ref`: (3*n, HALF, 1) int32 branch masks, 0 or -1 (full-word —
     both 16-bit fields of a lane take the same per-row branch bit).
-    `cost_ref`: (n, CHUNK_F, 128) int32 — plane b carries the BIASED
+    `cost_ref`: (n, CHUNK_F, L) int32 (L = tile_lanes(spec)) — plane b
+    carries the BIASED
     quantized LLR q_b + 128 of two channels per lane as 16-bit fields
     (packing raw LLRs keeps the XLA prologue to one cheap pass; the
     relu costs are recovered field-parallel here).  Same edge-metric
@@ -289,7 +297,7 @@ def _fwd_chunk_body_swar_soft(spec: CodeSpec, g_ref, cost_ref, m,
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
     LANES = tile_lanes(spec)
     n = spec.n
-    qplanes = cost_ref[:]                     # (n, CHUNK_F, 128)
+    qplanes = cost_ref[:]                     # (n, CHUNK_F, L)
     C128 = UNIT16 << 7                        # +128 per field
     BQ = 0x7F7F7F7F                           # (32767 - 128) per field
     G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
@@ -368,7 +376,8 @@ def _fwd_chunk_body_swar_soft8(spec: CodeSpec, qmax: int, g_ref, cost_ref,
                                m, dec_store):
     """One CHUNK_F-step SWAR-8 soft forward pass: FOUR channels/lane.
 
-    `cost_ref`: (n, CHUNK_F, 128) int32 — plane b carries the biased
+    `cost_ref`: (n, CHUNK_F, L) int32 (L = tile_lanes(spec)) — plane b
+    carries the biased
     quantized LLR q_b + qmax of four channels per lane as 8-bit fields
     (inputs clipped to [-qmax, qmax] by the pack).  Exactness: see
     `swar8_soft_supported` — the renorm runs after EVERY stage-2 step
@@ -381,7 +390,7 @@ def _fwd_chunk_body_swar_soft8(spec: CodeSpec, qmax: int, g_ref, cost_ref,
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
     LANES = tile_lanes(spec)
     n = spec.n
-    qplanes = cost_ref[:]                     # (n, CHUNK_F, 128)
+    qplanes = cost_ref[:]                     # (n, CHUNK_F, L)
     CQ = qmax * UNIT                          # +qmax bias per field
     BQ = (128 - qmax) * UNIT                  # guard-bit probe offset
     G = [[g_ref[stage * n + b] for b in range(n)] for stage in range(3)]
@@ -456,7 +465,7 @@ def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit, unit=UNIT,
                         selmul=0xFF, msb_first=False):
     """One CHUNK_F-step SWAR backward traceback.
 
-    `hb`: 8 (Q8, 128) packed one-hot blocks (fields 0/1), natural order
+    `hb`: 8 (Q8, L) packed one-hot blocks (fields 0/1), natural order
     at chunk entry.  Mirrors _tb_chunk_body's select network with
     field-parallel bitwise merges; per-group deferred bit emission.
     `msb_first` packs step g*8+j at bit 7-j instead of j — the output
@@ -631,10 +640,11 @@ def _unpack_out(out32, B):
 
 
 def _check_swar_shapes(T: int, B4: int, lanes: int = LANES):
-    """The SWAR grids tile T by CHUNK_F and lanes by LANES; anything
-    under-aligned would leave grid remainders unprocessed (silently
-    returning unwritten output), so reject it — the wrappers in
-    acs_pallas pad before packing."""
+    """The SWAR grids tile T by CHUNK_F and lanes by the per-spec tile
+    width `lanes` (= tile_lanes(spec), NOT necessarily the module
+    constant LANES); anything under-aligned would leave grid remainders
+    unprocessed (silently returning unwritten output), so reject it —
+    the wrappers in acs_pallas pad before packing."""
     if T % CHUNK_F or B4 % lanes:
         raise ValueError(f"padded shapes required: T={T} % {CHUNK_F} or "
                          f"packed lanes B4={B4} % {lanes} nonzero")

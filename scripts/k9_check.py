@@ -1,7 +1,7 @@
 """Validate the NS>=256 one-vreg tile dispatch on the real chip:
 K=9 decode bit-exact vs scan, plus before/after style timings for
 K=9 and K=7 (K=7 must be unchanged — tile_lanes leaves NS=64 at 256)."""
-import sys, time, glob, gzip, json, collections, shutil
+import sys, glob, gzip, json, collections, shutil
 sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
@@ -24,8 +24,11 @@ def check(spec, name):
     out = np.asarray(K.viterbi_decode_batch(spec, jnp.asarray(coded)))
     scan = np.asarray(jax.vmap(lambda s: fec.viterbi_decode(spec, s))(jnp.asarray(coded[:8])))
     assert (out[:8] == scan).all(), f"{name}: kernel != scan"
+    # Residual BER over all message bits (includes flips beyond the
+    # code's correction power — a sanity magnitude, not a gate).
     ber = (out != msgs).mean()
-    print(f"{name}: bit-exact vs scan, BER {ber:.2e}")
+    print(f"{name}: kernel == scan on {scan.shape[0]} channels; "
+          f"residual BER {ber:.2e} at 3% segment corruption")
 
 
 check(K9_561_753, "K9 hard")

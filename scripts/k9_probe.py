@@ -23,6 +23,9 @@ L = int(os.environ.get("LANES", "256"))
 S.LANES = L
 S.SWAR_TILE = 4 * L
 S.SWAR_TILE16 = 2 * L
+# tile_lanes() would otherwise pin NS>=256 to one-vreg tiles; the probe
+# must control the kernel tile width to A/B the two baselines.
+S.TILE_LANES_OVERRIDE = L
 
 from convolutionalencdec_tpu.params import K9_561_753
 
