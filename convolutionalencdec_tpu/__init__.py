@@ -41,9 +41,24 @@ from .ops.tailbiting import (
     encode_tailbiting,
     viterbi_decode_tailbiting,
     viterbi_decode_tailbiting_exact,
+    viterbi_decode_tailbiting_list,
+    viterbi_decode_tailbiting_list_soft,
     viterbi_decode_tailbiting_soft,
 )
-from .ops import channel, maxlogmap, metrics, puncture, streaming, tailbiting
+from .ops.crc import (
+    CrcSpec,
+    CRC6_NR,
+    CRC8_LTE,
+    CRC11_NR,
+    CRC16_CCITT,
+    CRC24A,
+    CRC24B,
+    crc_append,
+    crc_bits,
+    crc_check,
+)
+from .ops import (channel, crc, maxlogmap, metrics, puncture, streaming,
+                  tailbiting)
 
 # Subpackages imported lazily by most callers; exposed for discoverability.
 from . import kernels, parallel, harness
@@ -78,7 +93,20 @@ __all__ = [
     "encode_tailbiting",
     "viterbi_decode_tailbiting",
     "viterbi_decode_tailbiting_exact",
+    "viterbi_decode_tailbiting_list",
+    "viterbi_decode_tailbiting_list_soft",
     "viterbi_decode_tailbiting_soft",
+    "CrcSpec",
+    "CRC6_NR",
+    "CRC8_LTE",
+    "CRC11_NR",
+    "CRC16_CCITT",
+    "CRC24A",
+    "CRC24B",
+    "crc",
+    "crc_append",
+    "crc_bits",
+    "crc_check",
     "tailbiting",
     "channel",
     "metrics",

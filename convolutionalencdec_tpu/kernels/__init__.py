@@ -9,6 +9,10 @@ from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel
 from .acs_k2 import viterbi_decode_batch_k2
 from .tailbiting import (viterbi_decode_batch_tailbiting,
                          viterbi_decode_batch_tailbiting_bytes,
+                         viterbi_decode_batch_tailbiting_crc,
+                         viterbi_decode_batch_tailbiting_crc_soft,
+                         viterbi_decode_batch_tailbiting_list,
+                         viterbi_decode_batch_tailbiting_list_soft,
                          viterbi_decode_batch_tailbiting_soft,
                          viterbi_decode_batch_tailbiting_soft_bytes)
 from .acs_pallas import (
@@ -40,6 +44,10 @@ __all__ = [
     "viterbi_decode_batch_k2",
     "viterbi_decode_batch_tailbiting",
     "viterbi_decode_batch_tailbiting_bytes",
+    "viterbi_decode_batch_tailbiting_crc",
+    "viterbi_decode_batch_tailbiting_crc_soft",
+    "viterbi_decode_batch_tailbiting_list",
+    "viterbi_decode_batch_tailbiting_list_soft",
     "viterbi_decode_batch_tailbiting_soft",
     "viterbi_decode_batch_tailbiting_soft_bytes",
     "viterbi_decode_batch_soft",

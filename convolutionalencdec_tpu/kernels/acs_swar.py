@@ -524,6 +524,156 @@ def _tb_chunk_body_swar(spec: CodeSpec, hb, get_dec, emit, unit=UNIT,
     return hb
 
 
+def _tb_chunk_body_swar_multi(spec: CodeSpec, hbs, get_dec, emit,
+                              unit=UNIT, selmul=0xFF, msb_first=False):
+    """Multi-walk twin of `_tb_chunk_body_swar`: `NW` independent
+    one-hot walks (`hbs`: list of NW 8-block lists) traverse the SAME
+    decision chunk in one pass.  The decision load and the per-step
+    select masks `gm` are computed ONCE and shared by every walk — the
+    list decoder's NW tracebacks otherwise re-read the whole decision
+    matrix from HBM NW times and re-derive gm NW times.  Per-walk
+    select-network cost is unchanged.  `emit(g, accs)` receives one
+    packed output row per walk."""
+    NS = spec.num_states
+    Q8 = NS // 8
+    LANES = tile_lanes(spec)
+    NW = len(hbs)
+    for g in range(GPC - 1, -1, -1):
+        dec32 = get_dec(g)
+        db = [dec32[b_ * Q8:(b_ + 1) * Q8] for b_ in range(8)]
+        oaccs = [[jnp.zeros((Q8, LANES), jnp.int32) for _ in range(4)]
+                 for _ in range(NW)]
+        for j in range(PACK - 1, -1, -1):
+            stage = (g * PACK + j) % 3
+            wf = 1 << (PACK - 1 - j) if msb_first else 1 << j
+            gm = [((d_ >> j) & unit) * selmul for d_ in db]
+
+            def merge(i0, i1, hb, gm=gm):
+                h0, h1 = hb[i0], hb[i1]
+                hi = (h0 & gm[i0]) + (h1 & gm[i1])
+                lo = (h0 + h1) - hi
+                return lo, hi
+
+            for w in range(NW):
+                hb, oacc = hbs[w], oaccs[w]
+                if stage == 2:
+                    h_full = jnp.concatenate(hb, axis=0)
+                    hsc = h_full.reshape(Q8, 8, LANES).transpose(1, 0, 2)
+                    hb = [hsc[b_] for b_ in range(8)]
+                    for k_, b_ in enumerate((1, 3, 5, 7)):
+                        oacc[k_] = oacc[k_] + hb[b_] * wf
+                    nb = []
+                    for c in range(4):
+                        lo, hi = merge(2 * c, 2 * c + 1, hb)
+                        nb += [lo, hi]
+                    hbs[w] = nb
+                elif stage == 1:
+                    for k_, b_ in enumerate((2, 3, 6, 7)):
+                        oacc[k_] = oacc[k_] + hb[b_] * wf
+                    nb = [None] * 8
+                    for bi, base in enumerate((0, 4)):
+                        lo_a, hi_a = merge(base, base + 2, hb)
+                        lo_b, hi_b = merge(base + 1, base + 3, hb)
+                        nb[4 * bi:4 * bi + 4] = [lo_a, lo_b, hi_a, hi_b]
+                    hbs[w] = nb
+                else:
+                    for k_, b_ in enumerate((4, 5, 6, 7)):
+                        oacc[k_] = oacc[k_] + hb[b_] * wf
+                    los, his = [], []
+                    for b_ in range(4):
+                        lo, hi = merge(b_, b_ + 4, hb)
+                        los.append(lo)
+                        his.append(hi)
+                    hbs[w] = los + his
+        emit(g, [jnp.sum(oa[0] + oa[1] + oa[2] + oa[3], axis=0,
+                         keepdims=True) for oa in oaccs])
+    return hbs
+
+
+def _tb_kernel_swar_multi(spec: CodeSpec, NW: int, unit=UNIT,
+                          selmul=0xFF, msb_first=False):
+    NS = spec.num_states
+    Q8 = NS // 8
+    LANES = tile_lanes(spec)
+
+    def kernel(gmask_ref, hinit_ref, dec_ref, out_ref, h_ref):
+        # hinit_ref: (NW*NS, B4) — NW stacked packed one-hot walk
+        # starts; h_ref carries all NW walks between chunks.
+        i = pl.program_id(1)
+        nt_total = pl.num_programs(1)
+        gbase = (nt_total - 1 - i) * GPC
+
+        @pl.when(i == 0)
+        def _():
+            h_ref[:] = hinit_ref[:]
+
+        h = h_ref[:]
+        hbs = [[h[w * NS + b_ * Q8:w * NS + (b_ + 1) * Q8]
+                for b_ in range(8)] for w in range(NW)]
+
+        def get_dec(g):
+            gm = gmask_ref[gbase + g, 0]
+            return dec_ref[g] & (gm * unit)
+
+        def emit(g, accs):
+            for w in range(NW):
+                out_ref[g, w, :] = accs[w].reshape(LANES)
+
+        hbs = _tb_chunk_body_swar_multi(spec, hbs, get_dec, emit, unit,
+                                        selmul, msb_first)
+        for w in range(NW):
+            for b_ in range(8):
+                h_ref[w * NS + b_ * Q8:w * NS + (b_ + 1) * Q8] = hbs[w][b_]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def traceback_batch_swar_masked_multi(spec: CodeSpec, decs, gmask,
+                                      h_inits, interpret: bool = False,
+                                      wide: bool = False,
+                                      msb_first: bool = False):
+    """Multi-walk masked traceback: NW independent walk starts per
+    channel traverse the decision matrix in ONE kernel launch (the
+    list decoder's per-candidate tracebacks; see
+    kernels/tailbiting.py).  Decisions are DMA'd once for all walks.
+
+    Args:
+      decs: [TG, NS, B4] int32 packed decisions.
+      gmask: int32 [TG, 1] per-group byte masks (0xFF live).
+      h_inits: [NW, NS, B4] int32 packed one-hot walk starts.
+    Returns packed decoded bits [TG, NW, B4] int32.
+    """
+    NS = spec.num_states
+    NW = h_inits.shape[0]
+    TG, _, B4 = decs.shape
+    LANES = tile_lanes(spec)
+    nt = TG // GPC
+    nb = B4 // LANES
+    gmask = jnp.asarray(gmask, jnp.int32).reshape(TG, 1)
+    h0 = jnp.asarray(h_inits, jnp.int32).reshape(NW * NS, B4)
+    return pl.pallas_call(
+        _tb_kernel_swar_multi(spec, NW, *((UNIT16, 0xFFFF) if wide
+                                          else (UNIT, 0xFF)), msb_first),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((NW * NS, LANES), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPC, NS, LANES),
+                         lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPC, NW, LANES),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TG, NW, B4), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NW * NS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(gmask, h0, decs)
+
+
 def _fwd_kernel_swar(spec: CodeSpec):
     NS = spec.num_states
     Q8 = NS // 8

@@ -164,6 +164,234 @@ def _bytes_from_rows(rows, wl: int, T: int, B: int):
     return out[:, :B].T
 
 
+def list_wrap(spec: CodeSpec, T: int, wrap: int | None = None) -> int:
+    """LEFT wrap used by the kernel list decode: `wrap` warm-up steps,
+    stretched so the extended length (wl + T) is a CHUNK_F multiple —
+    the trellis must end exactly at the message end so candidates stay
+    distinct (see ops.tailbiting._list_from_forward), so all alignment
+    slack goes to the left, where extra wrap steps are free accuracy."""
+    wl = default_wrap(spec) if wrap is None else int(wrap)
+    return wl + (-(T + wl) % CHUNK_F)
+
+
+def _hard_wrap_fwd(spec: CodeSpec, segments, wrap, interpret: bool):
+    """Forward half of the hard LIST wrap decode: LEFT-only circular
+    extension + uniform-start ACS ending at the message end.
+    Returns (decs, fm [NS, Bp] int32, Bp, wl, swar)."""
+    B, T = segments.shape
+    wl = list_wrap(spec, T, wrap)
+    ext = circular_extend(segments, wl, 0, axis=-1)
+    if acs_swar.swar_supported(spec):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
+        Bp = ext_p.shape[0]
+        decs, fmp = acs_swar.acs_forward_batch_swar(
+            spec, acs_swar._pack_channels(ext_p), interpret, init_chunk=-1)
+        return decs, acs_swar.unpack_fields(fmp, Bp), Bp, wl, True
+    ext_p = _pad_to(ext, B_TILE, 0)
+    Bp = ext_p.shape[0]
+    decs, fm = acs_forward_batch_fused(spec, ext_p, interpret,
+                                       init_chunk=-1)
+    return decs, fm, Bp, wl, False
+
+
+def _soft_wrap_fwd(spec: CodeSpec, qllrs, wrap, qmax: int,
+                   interpret: bool):
+    """Forward half of the soft LIST wrap decode (SWAR-8 / SWAR-16 /
+    fused int32 by dispatch; LEFT-only extension).
+    Returns (decs, fm, Bp, wl, swar, wide)."""
+    B, T, _ = qllrs.shape
+    wl = list_wrap(spec, T, wrap)
+    ext = circular_extend(qllrs, wl, 0, axis=-2)
+    if acs_swar.swar8_soft_supported(spec, qmax):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
+        Bp = ext_p.shape[0]
+        decs, fmp = acs_swar.acs_forward_batch_swar_soft8(
+            spec, acs_swar._pack_qllrs8(ext_p, qmax), qmax, interpret,
+            init_chunk=-1)
+        return decs, acs_swar.unpack_fields(fmp, Bp), Bp, wl, True, False
+    if acs_swar.swar_layout_supported(spec):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE16, 0)
+        Bp = ext_p.shape[0]
+        decs, fmp = acs_swar.acs_forward_batch_swar_soft(
+            spec, acs_swar._pack_qllrs(ext_p), interpret, init_chunk=-1)
+        return decs, acs_swar.unpack_fields16(fmp, Bp), Bp, wl, True, True
+    ext_p = _pad_to(ext, B_TILE, 0)
+    Bp = ext_p.shape[0]
+    decs, fm = acs_forward_batch_fused_soft(spec, ext_p, interpret,
+                                            init_chunk=-1)
+    return decs, fm, Bp, wl, False, False
+
+
+def _list_tracebacks(spec: CodeSpec, decs, fm, Bp: int, list_size: int,
+                     interpret: bool, swar: bool, wide: bool):
+    """Per-candidate tracebacks from the `list_size` best wrap states.
+
+    Candidates are ordered by the lexicographic (final metric, state)
+    key — candidate 0 is exactly the argmin start the plain wrap decode
+    uses (ties -> lowest state), so list[0] == the non-list output.
+    The forward pass is shared; each candidate costs one traceback
+    launch over the same decision matrix.
+
+    Returns (rows [list_size, TG, Bp] uint8 packed bits,
+             metrics [list_size, Bp] int32)."""
+    NS = spec.num_states
+    TG = decs.shape[0]
+    key = fm * NS + jnp.arange(NS, dtype=jnp.int32)[:, None]
+    order = jax.lax.sort(key, dimension=0)[:list_size]   # [Lc, Bp]
+    states = order % NS
+    metrics = order // NS
+    gmask = jnp.full((TG, 1), 0xFF, jnp.int32)
+    s_iota = jnp.arange(NS, dtype=jnp.int32)[:, None]
+    if swar:
+        # All candidates walk in ONE multi-walk kernel launch: the
+        # decision matrix is DMA'd once and the per-step select masks
+        # are shared (vs list_size separate launches re-reading it).
+        pack_m = acs_swar.pack_fields16 if wide else acs_swar.pack_fields
+        unpack_o = acs_swar._unpack_out16 if wide else acs_swar._unpack_out
+        h_inits = jnp.stack(
+            [pack_m((s_iota == states[l][None, :]).astype(jnp.int32))
+             for l in range(list_size)])
+        out32 = acs_swar.traceback_batch_swar_masked_multi(
+            spec, decs, gmask, h_inits, interpret, wide, False)
+        rows = [unpack_o(out32[:, l:l + 1], Bp) for l in range(list_size)]
+        return jnp.stack(rows), metrics
+    rows = []
+    for l in range(list_size):
+        onehot = (s_iota == states[l][None, :]).astype(jnp.int32)
+        rows.append(traceback_batch_fused_masked(
+            spec, decs, gmask, onehot.astype(jnp.uint8), interpret))
+    return jnp.stack(rows), metrics
+
+
+def _check_list_args(spec: CodeSpec, list_size: int, mode: str):
+    _check_wrap_spec(spec, mode)
+    if not 1 <= list_size <= spec.num_states:
+        raise ValueError(f"list_size {list_size} out of range "
+                         f"[1, {spec.num_states}]")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def viterbi_decode_batch_tailbiting_list(spec: CodeSpec, segments,
+                                         list_size: int = 4,
+                                         wrap: int | None = None,
+                                         interpret: bool = False):
+    """Batched hard-decision LIST wrap decode: the `list_size` best
+    candidate circular paths per channel, by (final metric, state).
+    One shared forward pass + `list_size` traceback launches, over a
+    LEFT-only circular extension (`list_wrap`; a right wrap would merge
+    every candidate into one — see ops.tailbiting._list_from_forward).
+    Candidate 0 equals the scan `viterbi_decode_tailbiting` answer at
+    wrap=(list_wrap(spec, T, wrap), 0); `wrap` is the left warm-up.
+
+    Returns (uint8 [B, list_size, T] candidate bits,
+             int32 [B, list_size] candidate final metrics, ascending —
+             renormalized per channel by the kernel's in-flight min
+             subtraction, so only metric DIFFERENCES are meaningful).
+    """
+    _check_list_args(spec, list_size, "")
+    segments = jnp.asarray(segments, jnp.uint8)
+    B, T = segments.shape
+    decs, fm, Bp, wl, swar = _hard_wrap_fwd(spec, segments, wrap, interpret)
+    rows, metrics = _list_tracebacks(spec, decs, fm, Bp, list_size,
+                                     interpret, swar, False)
+    bits = jnp.stack([_bits_from_rows(rows[l], wl, T, B)
+                      for l in range(list_size)], axis=1)
+    return bits, metrics[:, :B].T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def viterbi_decode_batch_tailbiting_list_soft(spec: CodeSpec, qllrs,
+                                              list_size: int = 4,
+                                              wrap: int | None = None,
+                                              interpret: bool = False,
+                                              qmax: int | None = None):
+    """Soft-decision twin of `viterbi_decode_batch_tailbiting_list`
+    (quantized LLRs in — the production receive path)."""
+    _check_list_args(spec, list_size, "_soft")
+    qllrs = jnp.asarray(qllrs, jnp.int8)
+    B, T, _ = qllrs.shape
+    if qmax is None:
+        from ..ops.metrics import DEFAULT_QMAX
+        qmax = DEFAULT_QMAX
+    decs, fm, Bp, wl, swar, wide = _soft_wrap_fwd(spec, qllrs, wrap,
+                                                  qmax, interpret)
+    rows, metrics = _list_tracebacks(spec, decs, fm, Bp, list_size,
+                                     interpret, swar, wide)
+    bits = jnp.stack([_bits_from_rows(rows[l], wl, T, B)
+                      for l in range(list_size)], axis=1)
+    return bits, metrics[:, :B].T
+
+
+def _crc_select(crc, plain, cands):
+    """CRC winner selection over {the two-sided plain wrap decode} ++
+    {the metric-ordered list candidates}: the plain decode wins when it
+    passes (it sees the right-wrap context the list trellis gives up
+    for candidate diversity); otherwise the best passing candidate;
+    when nothing passes, the plain decode — so the output is never
+    worse than `viterbi_decode_batch_tailbiting` alone.
+
+    Returns (bits [B, T], ok [B] bool, chosen [B] int32: 0 = the plain
+    decode (also the no-pass fallback), l >= 1 = list candidate l-1)."""
+    from ..ops.crc import crc_check
+    allb = jnp.concatenate([plain[:, None], cands], axis=1)
+    ok = crc_check(crc, allb)                    # [B, 1 + Lc]
+    any_ok = jnp.any(ok, axis=1)
+    chosen = jnp.argmax(ok, axis=1).astype(jnp.int32)
+    chosen = jnp.where(any_ok, chosen, 0)
+    out = jnp.take_along_axis(allb, chosen[:, None, None], axis=1)[:, 0]
+    return out, any_ok, chosen
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
+def viterbi_decode_batch_tailbiting_crc(spec: CodeSpec, crc, segments,
+                                        list_size: int = 4,
+                                        wrap: int | None = None,
+                                        interpret: bool = False):
+    """CRC-aided list decode of tail-biting packets (hard decision) —
+    the production TBCC receive chain (LTE PDCCH/PBCH style): wrap
+    Viterbi produces the `list_size` best end-state paths, the outer
+    CRC (`ops.crc.CrcSpec`) picks the winner among them AND the plain
+    two-sided wrap decode.  Recovers the block whenever ANY candidate
+    matches, and never degrades a block the plain decode already got —
+    the block-error rate is <= `viterbi_decode_batch_tailbiting`'s.
+    `ok=False` channels fall back to the plain decode and should be
+    treated as erasures by the caller.
+
+    Cost: two shared-batch forward passes (one two-sided, one list) +
+    `list_size` + 1 traceback launches + one batched CRC matmul.
+
+    Args:
+      crc: `CrcSpec` of the outer code; each packet's message bits
+        must be `crc_append`-formatted (payload ++ parity).
+      segments: uint8 [B, T] hard n-bit segments.
+    Returns:
+      (uint8 [B, T] decoded bits (payload ++ parity),
+       bool [B] CRC pass flag,
+       int32 [B] chosen index: 0 = plain decode, l >= 1 = candidate l-1).
+    """
+    plain = viterbi_decode_batch_tailbiting(spec, segments, wrap,
+                                            interpret)
+    cands, _ = viterbi_decode_batch_tailbiting_list(
+        spec, segments, list_size, wrap, interpret)
+    return _crc_select(crc, plain, cands)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
+def viterbi_decode_batch_tailbiting_crc_soft(spec: CodeSpec, crc, qllrs,
+                                             list_size: int = 4,
+                                             wrap: int | None = None,
+                                             interpret: bool = False,
+                                             qmax: int | None = None):
+    """Soft-decision twin of `viterbi_decode_batch_tailbiting_crc`
+    (quantized demodulator LLRs in — the full production receive path:
+    soft wrap Viterbi list + CRC selection)."""
+    plain = viterbi_decode_batch_tailbiting_soft(spec, qllrs, wrap,
+                                                 interpret, qmax)
+    cands, _ = viterbi_decode_batch_tailbiting_list_soft(
+        spec, qllrs, list_size, wrap, interpret, qmax)
+    return _crc_select(crc, plain, cands)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def viterbi_decode_batch_tailbiting(spec: CodeSpec, segments,
                                     wrap: int | None = None,

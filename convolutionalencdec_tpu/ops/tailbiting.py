@@ -157,6 +157,81 @@ def viterbi_decode_tailbiting_soft(spec: CodeSpec, qllrs, wrap=None):
     return jax.lax.slice_in_dim(bits, wl * spec.k, (wl + T) * spec.k)
 
 
+def _list_from_forward(spec: CodeSpec, decisions, fm, list_size: int,
+                       wl: int, T: int):
+    """Shared list epilogue: the `list_size` best end states by
+    (metric, state) lexicographic order — the same tie convention as
+    argmin (ties -> lowest state) — each traced back independently.
+
+    List decodes use a LEFT-only circular extension: with observations
+    continuing past the message end, tracebacks from different end
+    states would merge inside the right wrap and every candidate would
+    decode an identical message window (measured: zero list diversity).
+    Ending the trellis at the message end keeps the candidates distinct
+    over the last ~5K message bits — exactly the region an outer CRC
+    adjudicates.
+    Returns (bits [list_size, T*k], metrics [list_size])."""
+    NS = spec.num_states
+    key = fm * NS + jnp.arange(NS, dtype=fm.dtype)
+    order = jnp.sort(key)[:list_size]
+    states = (order % NS).astype(jnp.int32)
+
+    def one(s):
+        bits = traceback_terminated(spec, decisions, num_pad=0,
+                                    start_state=s)
+        return jax.lax.slice_in_dim(bits, wl * spec.k, (wl + T) * spec.k)
+
+    cand = jax.vmap(one)(states)
+    return cand, fm[states]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_tailbiting_list(spec: CodeSpec, segments,
+                                   list_size: int = 4, wrap=None):
+    """List wrap decode (hard decision): the `list_size` best candidate
+    circular paths of one tail-biting packet, one per trellis end-state
+    in (final metric, state) order.  Candidate 0 is the argmin decode;
+    an outer CRC picks the winner (see `ops.crc` and the kernel-speed
+    batched twin `kernels.viterbi_decode_batch_tailbiting_crc`).
+
+    Args:
+      wrap: LEFT wrap (warm-up) length in trellis steps (int; default
+        `default_wrap`).  The trellis deliberately ends at the message
+        end — a right wrap would merge all candidates (see
+        `_list_from_forward`).
+    Returns:
+      (uint8 [list_size, T*k] candidate message bits,
+       int32 [list_size] candidate final metrics, ascending).
+    """
+    segments = jnp.asarray(segments, jnp.uint8)
+    T = segments.shape[-1]
+    wl = default_wrap(spec) if wrap is None else int(wrap)
+    ext = circular_extend(segments, wl, 0)
+    uniform = jnp.zeros((spec.num_states,), jnp.int32)
+    if spec.k == 1 and spec.has_poly_symmetry:
+        decisions, fm = viterbi_forward_butterfly(spec, ext,
+                                                  initial_metrics=uniform)
+    else:
+        bm = hard_step_metrics(spec, ext)
+        decisions, fm = viterbi_forward(spec, bm, initial_metrics=uniform)
+    return _list_from_forward(spec, decisions, fm, list_size, wl, T)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def viterbi_decode_tailbiting_list_soft(spec: CodeSpec, qllrs,
+                                        list_size: int = 4, wrap=None):
+    """Soft-decision twin of `viterbi_decode_tailbiting_list` (quantized
+    LLRs in, `list_size` candidates out; `wrap` is the LEFT wrap)."""
+    qllrs = jnp.asarray(qllrs, jnp.int32)
+    T = qllrs.shape[-2]
+    wl = default_wrap(spec) if wrap is None else int(wrap)
+    ext = circular_extend(qllrs, wl, 0, axis=-2)
+    bm = soft_step_metrics(spec, ext)
+    uniform = jnp.zeros((spec.num_states,), jnp.int32)
+    decisions, fm = viterbi_forward(spec, bm, initial_metrics=uniform)
+    return _list_from_forward(spec, decisions, fm, list_size, wl, T)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def viterbi_decode_tailbiting_exact(spec: CodeSpec, segments):
     """ML tail-biting decode (test oracle): the best circular path over
