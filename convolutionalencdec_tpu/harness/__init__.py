@@ -8,10 +8,13 @@ from .ber import (
     ber_sweep,
     run_reference_ber_test,
 )
+from .curve import run_bler_curve_tbcc, run_curve
 
 __all__ = [
     "BER_EXPECTED_K7",
     "ber_point",
     "ber_sweep",
     "run_reference_ber_test",
+    "run_bler_curve_tbcc",
+    "run_curve",
 ]

@@ -70,73 +70,88 @@ def _swar_wrap_traceback(spec: CodeSpec, decs, fmp, Bp: int,
     return unpack_o(out32, Bp)
 
 
-def _hard_wrap_forward(spec: CodeSpec, segments, wrap,
-                       interpret: bool, msb_first: bool):
-    """Hard wrap-decode core: circular extend, uniform-start forward
-    (SWAR or fused int32), argmin-start traceback.  Returns
-    (rows [TG, Bp] uint8, Bp, wl)."""
-    B, T = segments.shape
-    wl, wr = kernel_wraps(spec, T, wrap)
-    ext = circular_extend(segments, wl, wr, axis=-1)
+def _fwd_dispatch_hard(spec: CodeSpec, ext, interpret: bool):
+    """Hard forward-kernel dispatch over a circularly extended batch:
+    SWAR (packed channels) when supported, fused int32 otherwise.
+    Returns (decs, fmp, Bp, swar) — `fmp` is packed on the SWAR path
+    (unpack with acs_swar.unpack_fields), plain [NS, Bp] otherwise."""
     if acs_swar.swar_supported(spec):
         ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
-        Bp = ext_p.shape[0]
         decs, fmp = acs_swar.acs_forward_batch_swar(
             spec, acs_swar._pack_channels(ext_p), interpret,
             init_chunk=-1)
+        return decs, fmp, ext_p.shape[0], True
+    ext_p = _pad_to(ext, B_TILE, 0)
+    decs, fm = acs_forward_batch_fused(spec, ext_p, interpret,
+                                       init_chunk=-1)
+    return decs, fm, ext_p.shape[0], False
+
+
+def _fwd_dispatch_soft(spec: CodeSpec, ext, qmax: int, interpret: bool):
+    """Soft twin of `_fwd_dispatch_hard` (SWAR-8 / SWAR-16 / fused int32).
+    Returns (decs, fmp, Bp, swar, wide)."""
+    if acs_swar.swar8_soft_supported(spec, qmax):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
+        decs, fmp = acs_swar.acs_forward_batch_swar_soft8(
+            spec, acs_swar._pack_qllrs8(ext_p, qmax), qmax, interpret,
+            init_chunk=-1)
+        return decs, fmp, ext_p.shape[0], True, False
+    if acs_swar.swar_layout_supported(spec):
+        ext_p = _pad_to(ext, acs_swar.SWAR_TILE16, 0)
+        decs, fmp = acs_swar.acs_forward_batch_swar_soft(
+            spec, acs_swar._pack_qllrs(ext_p), interpret, init_chunk=-1)
+        return decs, fmp, ext_p.shape[0], True, True
+    ext_p = _pad_to(ext, B_TILE, 0)
+    decs, fm = acs_forward_batch_fused_soft(spec, ext_p, interpret,
+                                            init_chunk=-1)
+    return decs, fm, ext_p.shape[0], False, False
+
+
+def _fused_wrap_traceback(spec: CodeSpec, decs, fm, interpret: bool):
+    """Non-SWAR wrap epilogue: argmin-start all-steps-live traceback on
+    the fused int32 kernels.  Returns [TG, Bp] uint8 packed bit rows."""
+    am = jnp.argmin(fm, axis=0)
+    s_iota = jnp.arange(spec.num_states, dtype=jnp.int32)[:, None]
+    h_init = (s_iota == am[None, :]).astype(jnp.uint8)
+    gmask = jnp.full((decs.shape[0], 1), 0xFF, jnp.int32)
+    return traceback_batch_fused_masked(spec, decs, gmask, h_init,
+                                        interpret)
+
+
+def _hard_wrap_forward(spec: CodeSpec, segments, wrap,
+                       interpret: bool, msb_first: bool):
+    """Hard wrap-decode core: two-sided circular extend, uniform-start
+    forward, argmin-start traceback.  Returns (rows [TG, Bp] uint8,
+    Bp, wl)."""
+    B, T = segments.shape
+    wl, wr = kernel_wraps(spec, T, wrap)
+    ext = circular_extend(segments, wl, wr, axis=-1)
+    decs, fmp, Bp, swar = _fwd_dispatch_hard(spec, ext, interpret)
+    if swar:
         rows = _swar_wrap_traceback(spec, decs, fmp, Bp, interpret,
                                     False, msb_first)
     else:
         if msb_first:
             raise ValueError("msb_first byte emit requires the SWAR path")
-        ext_p = _pad_to(ext, B_TILE, 0)
-        Bp = ext_p.shape[0]
-        decs, fm = acs_forward_batch_fused(spec, ext_p, interpret,
-                                           init_chunk=-1)
-        am = jnp.argmin(fm, axis=0)
-        s_iota = jnp.arange(spec.num_states, dtype=jnp.int32)[:, None]
-        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
-        gmask = jnp.full((decs.shape[0], 1), 0xFF, jnp.int32)
-        rows = traceback_batch_fused_masked(spec, decs, gmask, h_init,
-                                            interpret)
+        rows = _fused_wrap_traceback(spec, decs, fmp, interpret)
     return rows, Bp, wl
 
 
 def _soft_wrap_forward(spec: CodeSpec, qllrs, wrap, qmax: int,
                        interpret: bool, msb_first: bool):
-    """Soft wrap-decode core (SWAR-8 / SWAR-16 / fused int32 by
-    dispatch) — the soft twin of `_hard_wrap_forward`."""
+    """Soft wrap-decode core — the soft twin of `_hard_wrap_forward`."""
     B, T, _ = qllrs.shape
     wl, wr = kernel_wraps(spec, T, wrap)
     ext = circular_extend(qllrs, wl, wr, axis=-2)
-    if acs_swar.swar8_soft_supported(spec, qmax):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
-        Bp = ext_p.shape[0]
-        decs, fmp = acs_swar.acs_forward_batch_swar_soft8(
-            spec, acs_swar._pack_qllrs8(ext_p, qmax), qmax, interpret,
-            init_chunk=-1)
+    decs, fmp, Bp, swar, wide = _fwd_dispatch_soft(spec, ext, qmax,
+                                                   interpret)
+    if swar:
         rows = _swar_wrap_traceback(spec, decs, fmp, Bp, interpret,
-                                    False, msb_first)
-    elif acs_swar.swar_layout_supported(spec):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE16, 0)
-        Bp = ext_p.shape[0]
-        decs, fmp = acs_swar.acs_forward_batch_swar_soft(
-            spec, acs_swar._pack_qllrs(ext_p), interpret, init_chunk=-1)
-        rows = _swar_wrap_traceback(spec, decs, fmp, Bp, interpret,
-                                    True, msb_first)
+                                    wide, msb_first)
     else:
         if msb_first:
             raise ValueError("msb_first byte emit requires the SWAR path")
-        ext_p = _pad_to(ext, B_TILE, 0)
-        Bp = ext_p.shape[0]
-        decs, fm = acs_forward_batch_fused_soft(spec, ext_p, interpret,
-                                                init_chunk=-1)
-        am = jnp.argmin(fm, axis=0)
-        s_iota = jnp.arange(spec.num_states, dtype=jnp.int32)[:, None]
-        h_init = (s_iota == am[None, :]).astype(jnp.uint8)
-        gmask = jnp.full((decs.shape[0], 1), 0xFF, jnp.int32)
-        rows = traceback_batch_fused_masked(spec, decs, gmask, h_init,
-                                            interpret)
+        rows = _fused_wrap_traceback(spec, decs, fmp, interpret)
     return rows, Bp, wl
 
 
@@ -177,49 +192,30 @@ def list_wrap(spec: CodeSpec, T: int, wrap: int | None = None) -> int:
 def _hard_wrap_fwd(spec: CodeSpec, segments, wrap, interpret: bool):
     """Forward half of the hard LIST wrap decode: LEFT-only circular
     extension + uniform-start ACS ending at the message end.
-    Returns (decs, fm [NS, Bp] int32, Bp, wl, swar)."""
+    Returns (decs, fm [NS, Bp] int32 UNPACKED, Bp, wl, swar)."""
     B, T = segments.shape
     wl = list_wrap(spec, T, wrap)
     ext = circular_extend(segments, wl, 0, axis=-1)
-    if acs_swar.swar_supported(spec):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
-        Bp = ext_p.shape[0]
-        decs, fmp = acs_swar.acs_forward_batch_swar(
-            spec, acs_swar._pack_channels(ext_p), interpret, init_chunk=-1)
-        return decs, acs_swar.unpack_fields(fmp, Bp), Bp, wl, True
-    ext_p = _pad_to(ext, B_TILE, 0)
-    Bp = ext_p.shape[0]
-    decs, fm = acs_forward_batch_fused(spec, ext_p, interpret,
-                                       init_chunk=-1)
-    return decs, fm, Bp, wl, False
+    decs, fmp, Bp, swar = _fwd_dispatch_hard(spec, ext, interpret)
+    fm = acs_swar.unpack_fields(fmp, Bp) if swar else fmp
+    return decs, fm, Bp, wl, swar
 
 
 def _soft_wrap_fwd(spec: CodeSpec, qllrs, wrap, qmax: int,
                    interpret: bool):
-    """Forward half of the soft LIST wrap decode (SWAR-8 / SWAR-16 /
-    fused int32 by dispatch; LEFT-only extension).
-    Returns (decs, fm, Bp, wl, swar, wide)."""
+    """Forward half of the soft LIST wrap decode (LEFT-only extension).
+    Returns (decs, fm UNPACKED, Bp, wl, swar, wide)."""
     B, T, _ = qllrs.shape
     wl = list_wrap(spec, T, wrap)
     ext = circular_extend(qllrs, wl, 0, axis=-2)
-    if acs_swar.swar8_soft_supported(spec, qmax):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE, 0)
-        Bp = ext_p.shape[0]
-        decs, fmp = acs_swar.acs_forward_batch_swar_soft8(
-            spec, acs_swar._pack_qllrs8(ext_p, qmax), qmax, interpret,
-            init_chunk=-1)
-        return decs, acs_swar.unpack_fields(fmp, Bp), Bp, wl, True, False
-    if acs_swar.swar_layout_supported(spec):
-        ext_p = _pad_to(ext, acs_swar.SWAR_TILE16, 0)
-        Bp = ext_p.shape[0]
-        decs, fmp = acs_swar.acs_forward_batch_swar_soft(
-            spec, acs_swar._pack_qllrs(ext_p), interpret, init_chunk=-1)
-        return decs, acs_swar.unpack_fields16(fmp, Bp), Bp, wl, True, True
-    ext_p = _pad_to(ext, B_TILE, 0)
-    Bp = ext_p.shape[0]
-    decs, fm = acs_forward_batch_fused_soft(spec, ext_p, interpret,
-                                            init_chunk=-1)
-    return decs, fm, Bp, wl, False, False
+    decs, fmp, Bp, swar, wide = _fwd_dispatch_soft(spec, ext, qmax,
+                                                   interpret)
+    if swar:
+        unpack = acs_swar.unpack_fields16 if wide else acs_swar.unpack_fields
+        fm = unpack(fmp, Bp)
+    else:
+        fm = fmp
+    return decs, fm, Bp, wl, swar, wide
 
 
 def _list_tracebacks(spec: CodeSpec, decs, fm, Bp: int, list_size: int,
@@ -507,3 +503,33 @@ def viterbi_decode_batch_tailbiting_soft_bytes(spec: CodeSpec, qllrs,
     rows, Bp, wl = _soft_wrap_forward(spec, qllrs, wrap, qmax,
                                       interpret, True)
     return _bytes_from_rows(rows, wl, T, B)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+def viterbi_decode_batch_tailbiting_punctured_crc(
+        spec: CodeSpec, crc, rx_qllrs, pattern, T: int,
+        list_size: int = 8, wrap: int | None = None,
+        interpret: bool = False, qmax: int | None = None):
+    """The complete LTE control-channel receive chain in ONE jit:
+    rate-matching depuncture (zero-LLR erasures — free in the soft
+    kernels) -> soft wrap list Viterbi -> CRC winner selection.
+
+    LTE transmits TBCC blocks rate-matched by puncturing the rate-1/3
+    mother code (`ops.puncture` patterns); zero LLRs contribute no
+    branch cost, so the depunctured stream rides the same soft kernels
+    unchanged — the whole chain fuses into one XLA program.
+
+    Args:
+      rx_qllrs: int8 [B, kept] quantized LLRs of the TRANSMITTED bits,
+        in transmission order (step-major, generator j within step).
+      pattern: puncture pattern tuple (e.g. ops.puncture.PUNCTURE_3_4).
+      T: trellis steps (= message bits for k=1) per packet.
+    Returns:
+      (uint8 [B, T] decoded bits (payload ++ parity), bool [B] CRC ok,
+       int32 [B] chosen candidate index — see `_crc_select`).
+    """
+    from ..ops.puncture import depuncture_llrs
+    q = depuncture_llrs(jnp.asarray(rx_qllrs, jnp.int8), pattern, T)
+    q = q.reshape(q.shape[0], T, spec.n)
+    return viterbi_decode_batch_tailbiting_crc_soft(
+        spec, crc, q, list_size, wrap, interpret, qmax)

@@ -1,7 +1,7 @@
-"""Round-2 real-TPU validation sweep (VERDICT #8): compile and run every
-kernel configuration CI only interprets, plus throughput via the
-profiler and the full-scale BER acceptance gate.  Writes RESULTS_r02.md
-rows to stdout."""
+"""Real-TPU validation sweep (VERDICT r1 #8, re-run each round): compile
+and run every kernel configuration CI only interprets, plus throughput
+via the profiler and the full-scale BER acceptance gate.  Writes
+RESULTS_r{N}.md rows to stdout."""
 import sys, time, glob, gzip, json, collections
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
@@ -177,6 +177,99 @@ def tailbiting_soft():
         assert (soft == hard).all(), f"soft(qmax={qmax}) != hard"
     return "SWAR-8 and SWAR-16 wrap decode decision-identical to hard"
 check("tail-biting soft", tailbiting_soft)
+
+def crc_list_hard():
+    from convolutionalencdec_tpu.ops.crc import CRC16_CCITT, crc_append
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_tailbiting, viterbi_decode_batch_tailbiting_crc,
+        viterbi_decode_batch_tailbiting_list)
+    from convolutionalencdec_tpu.kernels.tailbiting import list_wrap
+    spec, crc = fec.NASA_K7, CRC16_CCITT
+    rng = np.random.default_rng(31)
+    B, L = 512, 120
+    payload = rng.integers(0, 2, (B, L - 16), dtype=np.uint8)
+    msgs = np.asarray(crc_append(crc, payload))
+    coded = np.asarray(fec.encode_tailbiting(spec, msgs)).copy()
+    flip = rng.random(coded.shape) < 0.08
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    cands, _ = viterbi_decode_batch_tailbiting_list(spec, coded, 4)
+    cands = np.asarray(cands)
+    wl = list_wrap(spec, L)
+    for i in range(6):
+        sc, _ = fec.viterbi_decode_tailbiting_list(spec, coded[i], 4, wl)
+        assert (cands[i] == np.asarray(sc)).all(), i
+    out, ok, _ = viterbi_decode_batch_tailbiting_crc(spec, crc, coded, 8)
+    out = np.asarray(out)
+    plain = np.asarray(viterbi_decode_batch_tailbiting(spec, coded))
+    pb = (plain != msgs).any(1)
+    lb = (out != msgs).any(1)
+    assert not (lb & ~pb).any(), "CRC selection degraded a block"
+    return (f"multi-walk list bit-exact vs scan list; blkerr "
+            f"{pb.sum()} plain -> {lb.sum()} CRC-list "
+            f"({(pb & ~lb).sum()} rescued) @8% flips")
+check("CRC-aided list decode (hard)", crc_list_hard)
+
+def crc_list_soft():
+    from convolutionalencdec_tpu.ops.crc import CRC8_LTE, crc_append
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_tailbiting_crc,
+        viterbi_decode_batch_tailbiting_crc_soft,
+        viterbi_decode_batch_tailbiting_soft)
+    spec, crc = fec.LTE_TBCC_K7, CRC8_LTE   # n=3 -> SWAR-16 soft fields
+    rng = np.random.default_rng(33)
+    B, L = 512, 128
+    payload = rng.integers(0, 2, (B, L - 8), dtype=np.uint8)
+    msgs = np.asarray(crc_append(crc, payload))
+    coded = np.asarray(fec.encode_tailbiting(spec, msgs)).copy()
+    flip = rng.random(coded.shape) < 0.05
+    ch = coded ^ (flip * rng.integers(1, 8, coded.shape)).astype(np.uint8)
+    planes = np.stack([(ch >> b) & 1 for b in range(spec.n)], axis=-1)
+    q = (1 - 2 * planes.astype(np.int8)).astype(np.int8)
+    hard = viterbi_decode_batch_tailbiting_crc(spec, crc, ch, 4)
+    soft = viterbi_decode_batch_tailbiting_crc_soft(spec, crc, q, 4,
+                                                    None, False, 1)
+    for h, s in zip(hard, soft):
+        assert (np.asarray(h) == np.asarray(s)).all(), "soft != hard"
+    # AWGN: soft CRC-list vs soft plain block-error improvement
+    # (0 dB Eb/N0, rate-1/3 TBCC — the regime where the list works).
+    tx = (1 - 2 * np.stack([(coded >> b) & 1 for b in range(spec.n)],
+                           axis=-1).astype(np.float32))
+    ebn0 = 0.0
+    sg = float(np.sqrt(1 / (2 * 10 ** (ebn0 / 10) * spec.rate)))
+    llr = 2 * (tx + sg * rng.standard_normal(tx.shape)) / sg ** 2
+    qs = np.asarray(quantize_llrs(jnp.asarray(llr))).astype(np.int8)
+    outs, oks, _ = viterbi_decode_batch_tailbiting_crc_soft(
+        spec, crc, qs, 8)
+    plains = np.asarray(viterbi_decode_batch_tailbiting_soft(spec, qs))
+    pb = (plains != msgs).any(1)
+    lb = (np.asarray(outs) != msgs).any(1)
+    assert not (lb & ~pb).any()
+    return (f"CRC-list soft == hard on pseudo-LLRs (SWAR-16 n=3); AWGN "
+            f"{ebn0:g}dB blkerr {pb.sum()}/{B} -> {lb.sum()} "
+            f"({(pb & ~lb).sum()} rescued)")
+check("CRC-aided list decode (soft)", crc_list_soft)
+
+def crc_list_k9():
+    from convolutionalencdec_tpu.ops.crc import CRC16_CCITT, crc_append
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_tailbiting_list)
+    from convolutionalencdec_tpu.kernels.tailbiting import list_wrap
+    spec, crc = K9_561_753, CRC16_CCITT     # NS=256: multi-walk at Q8=32
+    rng = np.random.default_rng(35)
+    B, L = 512, 160
+    payload = rng.integers(0, 2, (B, L - 16), dtype=np.uint8)
+    msgs = np.asarray(crc_append(crc, payload))
+    coded = np.asarray(fec.encode_tailbiting(spec, msgs)).copy()
+    flip = rng.random(coded.shape) < 0.06
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    cands, _ = viterbi_decode_batch_tailbiting_list(spec, coded, 4)
+    cands = np.asarray(cands)
+    wl = list_wrap(spec, L)
+    for i in range(4):
+        sc, _ = fec.viterbi_decode_tailbiting_list(spec, coded[i], 4, wl)
+        assert (cands[i] == np.asarray(sc)).all(), i
+    return "NS=256 multi-walk traceback (one-vreg tiles), bit-exact vs scan"
+check("K9 list decode (NS=256 multi-walk)", crc_list_k9)
 
 # --- device-truth throughput via profiler ---
 def profile_all():

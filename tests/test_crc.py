@@ -174,3 +174,52 @@ def test_list_size_validation():
     with pytest.raises(ValueError):
         viterbi_decode_batch_tailbiting_list(
             spec, np.zeros((4, 64), np.uint8), 65, None, True)
+
+
+def test_bler_curve_tbcc_smoke():
+    # Interpret-mode smoke of the BLER curve runner: list selection can
+    # only improve block errors, false accepts stay rare at short CRC16.
+    from convolutionalencdec_tpu.harness import run_bler_curve_tbcc
+    import convolutionalencdec_tpu as fec
+    pts = run_bler_curve_tbcc(
+        fec.NASA_K7, CRC16_CCITT, [2.0], n_packets=64, payload_bits=48,
+        list_size=4, batch=64, interpret=True, verbose=False)
+    p = pts[0]
+    assert p["blocks"] == 64
+    assert p["crc_list_bler"] <= p["plain_bler"]
+    assert p["false_accept"] <= p["crc_list_bler"]
+
+
+def test_punctured_tbcc_crc_one_call():
+    # One-call LTE-style chain == manual depuncture + CRC-list decode,
+    # and it recovers clean blocks end-to-end at rate 3/4.
+    spec, crc = fec.LTE_TBCC_K7, CRC8_LTE
+    from convolutionalencdec_tpu.ops.puncture import (
+        puncture_bits, depuncture_llrs)
+    # n=3 pattern (rows = generators): keep 4 of 6 -> rate 1/2 from the
+    # rate-1/3 mother code, LTE-rate-matching style.
+    PUNCTURE_2_3 = ((1, 1), (1, 0), (1, 0))
+    from convolutionalencdec_tpu.ops.channel import segments_to_bits
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_tailbiting_crc_soft,
+        viterbi_decode_batch_tailbiting_punctured_crc)
+    rng = np.random.default_rng(21)
+    B, L = 8, 96
+    payload = rng.integers(0, 2, (B, L - 8), dtype=np.uint8)
+    msgs = np.asarray(crc_append(crc, payload))
+    coded = np.asarray(fec.encode_tailbiting(spec, msgs))
+    cbits = np.asarray(segments_to_bits(coded, spec.n))
+    tx = np.asarray(puncture_bits(cbits, PUNCTURE_2_3, L))
+    # light noise on the transmitted bits
+    flip = rng.random(tx.shape) < 0.01
+    rx = (1 - 2 * (tx ^ flip).astype(np.int8)) * 5
+    one = viterbi_decode_batch_tailbiting_punctured_crc(
+        spec, crc, rx, PUNCTURE_2_3, L, 4, None, True)
+    q = np.asarray(depuncture_llrs(rx, PUNCTURE_2_3, L)).reshape(B, L, spec.n)
+    two = viterbi_decode_batch_tailbiting_crc_soft(spec, crc, q, 4,
+                                                   None, True)
+    for a, b in zip(one, two):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    out, ok, _ = one
+    out, ok = np.asarray(out), np.asarray(ok)
+    assert (out == msgs).all() and ok.all()

@@ -105,3 +105,30 @@ def test_fuzz_spec_bytes_and_ragged(spec):
     by = np.asarray(viterbi_decode_batch_bytes(spec, rect,
                                                interpret=True))
     np.testing.assert_array_equal(by, exp)
+
+
+@pytest.mark.parametrize("spec", SPECS[:5], ids=IDS[:5])
+def test_fuzz_spec_tailbiting_list(spec):
+    # List-decode invariants on arbitrary codes (scan path): candidate 0
+    # is exactly the argmin decode of the same left-extended trellis,
+    # metrics ascend, shapes match.  (The kernel list path is NS>=64
+    # poly-symmetric k=1 only and is cross-checked in tests/test_crc.py.)
+    from convolutionalencdec_tpu import (encode_tailbiting,
+                                         viterbi_decode_tailbiting,
+                                         viterbi_decode_tailbiting_list)
+    from convolutionalencdec_tpu.ops.tailbiting import default_wrap
+    rng = np.random.default_rng(spec.K * 77 + spec.k * 7 + spec.n)
+    L = 24 * spec.k * 2
+    msgs = rng.integers(0, 2, (L,), dtype=np.uint8)
+    coded = np.asarray(encode_tailbiting(spec, msgs)).copy()
+    flip = rng.random(coded.shape) < 0.05
+    coded ^= (flip * rng.integers(1, 1 << spec.n, coded.shape)).astype(
+        np.uint8)
+    Lc = min(4, spec.num_states)
+    cands, mets = viterbi_decode_tailbiting_list(spec, coded, Lc)
+    cands, mets = np.asarray(cands), np.asarray(mets)
+    assert cands.shape == (Lc, L) and mets.shape == (Lc,)
+    assert (np.diff(mets) >= 0).all()
+    wl = default_wrap(spec)
+    plain = np.asarray(viterbi_decode_tailbiting(spec, coded, (wl, 0)))
+    np.testing.assert_array_equal(cands[0], plain)
