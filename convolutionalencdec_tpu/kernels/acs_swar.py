@@ -674,24 +674,35 @@ def traceback_batch_swar_masked_multi(spec: CodeSpec, decs, gmask,
     )(gmask, h0, decs)
 
 
-def _fwd_kernel_swar(spec: CodeSpec):
+def _fwd_kernel_swar(spec: CodeSpec, with_minit: bool = False):
     NS = spec.num_states
     Q8 = NS // 8
     LANES = tile_lanes(spec)
     init_hi = init_metric_value(spec)   # swar_supported bounds it
     dense = not _sparse_renorm_ok(spec)  # n >= 3: renorm every 3 steps
 
-    def kernel(ic_ref, g_ref, seg_ref, dec_ref, fm_ref, m_ref):
+    def kernel(*refs):
         # ic_ref: (1, 1) int32 SMEM — chunk at which the standard initial
         # metrics apply (0 = whole packet; W/CHUNK_F for the first block
         # of a time-sharded stream; -1 keeps the uniform start for
         # interior blocks — viterbiDecoder.c:53-74's truncation argument).
+        # with_minit: a (NS, B4) packed metric input seeds the walk at
+        # chunk 0 instead — the carried-metric seam of the block-speed
+        # streaming decoder (kernels/blockstream.py); fields arrive
+        # renormalized (min 0) so they re-enter the 8-bit bound.
         # fm_ref: (NS, B4) packed final metrics (valid after last chunk).
+        if with_minit:
+            ic_ref, minit_ref, g_ref, seg_ref, dec_ref, fm_ref, m_ref = refs
+        else:
+            ic_ref, g_ref, seg_ref, dec_ref, fm_ref, m_ref = refs
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
         def _():
-            m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
+            if with_minit:
+                m_ref[:] = minit_ref[:]
+            else:
+                m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
 
         @pl.when(t_chunk == ic_ref[0, 0])
         def _():
@@ -802,12 +813,16 @@ def _check_swar_shapes(T: int, B4: int, lanes: int = LANES):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
-                           interpret: bool = False, init_chunk=0):
+                           interpret: bool = False, init_chunk=0,
+                           init_metrics=None):
     """seg_packed: [T, B4] int32 (T % CHUNK_F == 0, B4 % LANES == 0).
     `init_chunk` (may be traced) is the chunk at which the standard
     initial metrics apply; -1 keeps a uniform start (time-sharded
-    interior blocks).  Returns (packed decisions [T//PACK, NS, B4]
-    int32, packed final metrics [NS, B4] int32)."""
+    interior blocks).  `init_metrics` ([NS, B4] int32 PACKED,
+    renormalized fields) seeds chunk 0 with carried metrics instead —
+    the exact-continuation seam for chunked block-stream decode (pass
+    init_chunk=-1 with it).  Returns (packed decisions [T//PACK, NS,
+    B4] int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     T, B4 = seg_packed.shape
     LANES = tile_lanes(spec)
@@ -816,15 +831,23 @@ def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec))
     ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
+    with_minit = init_metrics is not None
+    in_specs = [pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    args = [ic]
+    if with_minit:
+        in_specs.append(pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(init_metrics, jnp.int32))
+    in_specs += [pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((CHUNK_F, LANES), lambda b, t: (t, b),
+                              memory_space=pltpu.VMEM)]
+    args += [G, seg_packed]
     return pl.pallas_call(
-        _fwd_kernel_swar(spec),
+        _fwd_kernel_swar(spec, with_minit),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((CHUNK_F, LANES), lambda b, t: (t, b),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
@@ -833,7 +856,7 @@ def acs_forward_batch_swar(spec: CodeSpec, seg_packed,
                    jax.ShapeDtypeStruct((NS, B4), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
         interpret=interpret,
-    )(ic, G, seg_packed)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -1160,22 +1183,31 @@ def swar_decode_bytes_ragged_soft(spec: CodeSpec, qllrs, seg_lengths,
     return _bytes_epilogue_ragged(out32, B, msg_bits, wide=True)
 
 
-def _fwd_kernel_swar_soft(spec: CodeSpec):
+def _fwd_kernel_swar_soft(spec: CodeSpec, with_minit: bool = False):
     NS = spec.num_states
     Q8 = NS // 8
     LANES = tile_lanes(spec)
     init_hi = init_metric_value(spec)
 
-    def kernel(ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref):
+    def kernel(*refs):
         # ic_ref / fm_ref: same contract as the hard _fwd_kernel_swar —
         # init_chunk = -1 keeps a uniform (all-zero) start for
         # tail-biting wrap decode and time-sharded interior blocks;
         # fm_ref holds the packed final metrics after the last chunk.
+        # with_minit: packed carried metrics seed chunk 0 instead
+        # (block-stream exact continuation, kernels/acs_swar hard twin).
+        if with_minit:
+            ic_ref, minit_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref = refs
+        else:
+            ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref = refs
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
         def _():
-            m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
+            if with_minit:
+                m_ref[:] = minit_ref[:]
+            else:
+                m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
 
         @pl.when(t_chunk == ic_ref[0, 0])
         def _():
@@ -1197,7 +1229,8 @@ def _fwd_kernel_swar_soft(spec: CodeSpec):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
-                                interpret: bool = False, init_chunk=0):
+                                interpret: bool = False, init_chunk=0,
+                                init_metrics=None):
     """cost_packed: [n, T, B2] int32 packed biased LLRs (see
     _fwd_chunk_body_swar_soft).  `init_chunk` (may be traced) is the
     chunk at which the standard initial metrics apply; -1 keeps a
@@ -1212,16 +1245,24 @@ def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
     nb = B2 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))
     ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
+    with_minit = init_metrics is not None
+    in_specs = [pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    args = [ic]
+    if with_minit:
+        in_specs.append(pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(init_metrics, jnp.int32))
+    in_specs += [pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((n2, CHUNK_F, LANES),
+                              lambda b, t: (0, t, b),
+                              memory_space=pltpu.VMEM)]
+    args += [G, cost_packed]
     return pl.pallas_call(
-        _fwd_kernel_swar_soft(spec),
+        _fwd_kernel_swar_soft(spec, with_minit),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n2, CHUNK_F, LANES),
-                               lambda b, t: (0, t, b),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
@@ -1230,7 +1271,7 @@ def acs_forward_batch_swar_soft(spec: CodeSpec, cost_packed,
                    jax.ShapeDtypeStruct((NS, B2), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
         interpret=interpret,
-    )(ic, G, cost_packed)
+    )(*args)
 
 
 def _pack_qllrs(qllrs):
@@ -1267,19 +1308,27 @@ def swar_decode_packed_soft(spec: CodeSpec, qllrs, t_actual: int,
     return _unpack_out16(out32, B)
 
 
-def _fwd_kernel_swar_soft8(spec: CodeSpec, qmax: int):
+def _fwd_kernel_swar_soft8(spec: CodeSpec, qmax: int, with_minit: bool = False):
     NS = spec.num_states
     Q8 = NS // 8
     LANES = tile_lanes(spec)
     init_hi = init_metric_value(spec)
 
-    def kernel(ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref):
+    def kernel(*refs):
         # ic_ref / fm_ref: same contract as the hard _fwd_kernel_swar.
+        # with_minit: packed carried metrics seed chunk 0 instead.
+        if with_minit:
+            ic_ref, minit_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref = refs
+        else:
+            ic_ref, g_ref, cost_ref, dec_ref, fm_ref, m_ref = refs
         t_chunk = pl.program_id(1)
 
         @pl.when(t_chunk == 0)
         def _():
-            m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
+            if with_minit:
+                m_ref[:] = minit_ref[:]
+            else:
+                m_ref[:] = jnp.zeros((NS, LANES), jnp.int32)
 
         @pl.when(t_chunk == ic_ref[0, 0])
         def _():
@@ -1302,10 +1351,10 @@ def _fwd_kernel_swar_soft8(spec: CodeSpec, qmax: int):
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def acs_forward_batch_swar_soft8(spec: CodeSpec, cost_packed,
                                  qmax: int, interpret: bool = False,
-                                 init_chunk=0):
+                                 init_chunk=0, init_metrics=None):
     """cost_packed: [n, T, B4] int32 packed biased LLRs, 8-bit fields
-    (see _fwd_chunk_body_swar_soft8).  `init_chunk` as in
-    acs_forward_batch_swar_soft.  Returns (packed decisions
+    (see _fwd_chunk_body_swar_soft8).  `init_chunk` / `init_metrics` as
+    in acs_forward_batch_swar_soft.  Returns (packed decisions
     [T//PACK, NS, B4] int32, packed final metrics [NS, B4] int32)."""
     NS = spec.num_states
     n2, T, B4 = cost_packed.shape
@@ -1315,16 +1364,24 @@ def acs_forward_batch_swar_soft8(spec: CodeSpec, cost_packed,
     nb = B4 // LANES
     G = jnp.asarray(_branch_masks(spec, full_word=True))
     ic = jnp.asarray(init_chunk, jnp.int32).reshape(1, 1)
+    with_minit = init_metrics is not None
+    in_specs = [pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    args = [ic]
+    if with_minit:
+        in_specs.append(pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(init_metrics, jnp.int32))
+    in_specs += [pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((n2, CHUNK_F, LANES),
+                              lambda b, t: (0, t, b),
+                              memory_space=pltpu.VMEM)]
+    args += [G, cost_packed]
     return pl.pallas_call(
-        _fwd_kernel_swar_soft8(spec, qmax),
+        _fwd_kernel_swar_soft8(spec, qmax, with_minit),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec((1, 1), lambda b, t: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec(G.shape, lambda b, t: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n2, CHUNK_F, LANES),
-                               lambda b, t: (0, t, b),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((GPC, NS, LANES), lambda b, t: (t, 0, b),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((NS, LANES), lambda b, t: (0, b),
@@ -1333,7 +1390,7 @@ def acs_forward_batch_swar_soft8(spec: CodeSpec, cost_packed,
                    jax.ShapeDtypeStruct((NS, B4), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((NS, LANES), jnp.int32)],
         interpret=interpret,
-    )(ic, G, cost_packed)
+    )(*args)
 
 
 def _pack_qllrs8(qllrs, qmax: int):

@@ -380,3 +380,206 @@ def _symbols_to_bits_batch(spec: CodeSpec, symbols: np.ndarray) -> np.ndarray:
     bit_idx = np.arange(spec.k - 1, -1, -1)
     bits = (symbols[:, :, None].astype(np.int32) >> bit_idx) & 1
     return bits.astype(np.uint8).reshape(symbols.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
+def _bsd_step(spec: CodeSpec, chunk, m, pending, keep_g: int,
+              last_info, bout: int, mode: str, qmax: int,
+              interpret: bool):
+    """One whole `BlockStreamingDecoderBatch.decode` call as a single
+    jitted program: SWAR pack + forward over `chunk` (already padded;
+    time length a CHUNK_F multiple, possibly 0) seeded with carried
+    packed metrics `m` (None = stream start), decision append, masked
+    traceback, bit emission.  `mode` picks the kernel family ("hard" /
+    "soft8" / "soft16"); `last_info` is None for interior calls or the
+    static (live_rel, n_final) pair for the flush.  Returns
+    (bits [bout, e] uint8, m', pending') — all device-resident; shapes
+    are static per call signature, so steady-state serving reuses one
+    trace."""
+    from ..kernels import acs_swar
+    wide = mode == "soft16"
+    if chunk.shape[1]:
+        if mode == "hard":
+            packed = acs_swar._pack_channels(chunk)
+            fwd = functools.partial(acs_swar.acs_forward_batch_swar,
+                                    spec, packed, interpret)
+        elif mode == "soft8":
+            packed = acs_swar._pack_qllrs8(chunk, qmax)
+            fwd = functools.partial(acs_swar.acs_forward_batch_swar_soft8,
+                                    spec, packed, qmax, interpret)
+        else:
+            packed = acs_swar._pack_qllrs(chunk)
+            fwd = functools.partial(acs_swar.acs_forward_batch_swar_soft,
+                                    spec, packed, interpret)
+        if m is None:
+            decs, m = fwd(init_chunk=0)
+        else:
+            decs, m = fwd(init_chunk=-1, init_metrics=m)
+        pending = (decs if pending is None
+                   else jnp.concatenate([pending, decs]))
+    Bp = pending.shape[2] * (2 if wide else 4)
+
+    def rows_to_bits(rows, n_steps: int):
+        j = jnp.arange(8, dtype=jnp.uint8).reshape(1, 8, 1)
+        bits = ((rows[:, None, :] >> j) & 1).reshape(-1, rows.shape[1])
+        return bits[:n_steps].T
+
+    unpack_m = acs_swar.unpack_fields16 if wide else acs_swar.unpack_fields
+    pack_m = acs_swar.pack_fields16 if wide else acs_swar.pack_fields
+    unpack_o = acs_swar._unpack_out16 if wide else acs_swar._unpack_out
+
+    if last_info is None:
+        tg = pending.shape[0]
+        emit_g = tg - keep_g
+        if emit_g <= 0:
+            return jnp.zeros((bout, 0), jnp.uint8), m, pending
+        fm = unpack_m(m, Bp)
+        s_iota = jnp.arange(spec.num_states, dtype=jnp.int32)[:, None]
+        h0 = pack_m(
+            (s_iota == jnp.argmin(fm, axis=0)[None, :]).astype(jnp.int32))
+        gmask = jnp.full((tg, 1), 0xFF, jnp.int32)
+        out32 = acs_swar.traceback_batch_swar_masked(
+            spec, pending, gmask, h0, interpret, wide)
+        rows = unpack_o(out32, Bp)
+        return rows_to_bits(rows, emit_g * 8)[:bout], m, pending[emit_g:]
+
+    live_rel, n_final = last_info
+    out32 = acs_swar.traceback_batch_swar(spec, pending, live_rel,
+                                          interpret, wide)
+    rows = unpack_o(out32, Bp)
+    return rows_to_bits(rows, n_final)[:bout], m, pending
+
+
+class BlockStreamingDecoderBatch:
+    """Chunked decode at BLOCK-kernel speed: exact carried-metric
+    forward continuity across calls (beyond-reference; the reference's
+    butterfly decoder requires the whole packet before `last=true`,
+    viterbiDecoderButterflyk1.c:200-260, and its streaming generic
+    decoder pays the per-step sliding-window emit).
+
+    Feed `[B, t]` segment chunks of ANY sizes; every call runs the SWAR
+    forward over the newly completed 48-step chunks seeded with the
+    PREVIOUS call's packed final metrics (`init_metrics` — exact
+    continuation, not a warm-up approximation) and emits all decoded
+    bits older than the `lookahead` window via a masked traceback
+    started at argmin(current metrics).  The final `last=True` call
+    replicates the one-shot terminated traceback (state-0 start, pad
+    masking), so the concatenated emissions equal
+    `kernels.viterbi_decode_batch` on the whole stream wherever
+    survivor paths merge within `lookahead` (the truncation argument of
+    viterbiDecoder.c:53-74; the tests assert bit-exactness at 3%
+    corruption).
+
+    Emission cadence: interior emissions are 48-step aligned and lag by
+    `lookahead..lookahead+47` steps plus any sub-chunk remainder; each
+    interior traceback re-walks the kept lookahead groups (~lookahead/t
+    overhead per call).  Compare `StreamingDecoderBatch`: per-STEP
+    emission at fixed delay W (~4.25 Gbit/s device) — this class trades
+    burst latency for block-kernel throughput (~10 Gbit/s hard).
+
+    The whole per-call step is ONE jitted program (`_bsd_step`);
+    inputs, outputs, and carried state stay on device.  Keep chunk
+    sizes fixed in steady state so one trace serves every call.
+
+    SWAR-eligible codes only (k=1 poly-symmetric, NS >= 64, n <= 4);
+    other codes use `StreamingDecoderBatch`.
+    """
+
+    def __init__(self, spec: CodeSpec, batch: int,
+                 lookahead: int | None = None, interpret: bool = False,
+                 soft: bool = False, qmax: int | None = None):
+        from ..kernels import acs_swar
+        from ..kernels.acs_pallas import CHUNK_F
+        if soft:
+            if qmax is None:
+                from .metrics import DEFAULT_QMAX
+                qmax = DEFAULT_QMAX
+            if acs_swar.swar8_soft_supported(spec, qmax):
+                self._mode = "soft8"
+            elif acs_swar.swar_layout_supported(spec):
+                self._mode = "soft16"
+            else:
+                raise ValueError(
+                    "soft BlockStreamingDecoderBatch requires a SWAR-"
+                    "layout code; use StreamingDecoderBatch instead")
+        else:
+            if not acs_swar.swar_supported(spec):
+                raise ValueError(
+                    "BlockStreamingDecoderBatch requires a SWAR-eligible "
+                    "code (k=1 poly-symmetric, NS >= 64, n <= 4); use "
+                    "StreamingDecoderBatch instead")
+            self._mode = "hard"
+        self.spec = spec
+        self.batch = batch
+        self.interpret = interpret
+        self._qmax = int(qmax) if qmax is not None else 0
+        self._tile = (acs_swar.SWAR_TILE16 if self._mode == "soft16"
+                      else acs_swar.SWAR_TILE)
+        la = spec.traceback_len if lookahead is None else int(lookahead)
+        self._keep = -(-la // CHUNK_F)    # kept lookahead, whole chunks
+        self._chunk = CHUNK_F
+        self.reset()
+
+    def reset(self):
+        self._buf = None         # device-resident sub-chunk remainder
+        self._m = None           # packed carried metrics [NS, Bp4]
+        self._pending = None     # packed decisions [TG, NS, Bp4]
+        self._in_steps = 0       # total segments consumed
+        self._emitted = 0        # total steps emitted
+
+    def decode(self, segments, last: bool = False):
+        """Consume a [B, t] chunk (hard) or [B, t, n] int8 qllr chunk
+        (soft), t >= 0; returns device-resident uint8 [B, e] decoded
+        bits (e varies per call).  `last=True` flushes: total emissions
+        then cover all (total segments - S) message positions, and the
+        decoder resets for the next stream.
+
+        The aligned steady-state path (t % 48 == 0, no buffered
+        remainder) runs as exactly ONE jitted dispatch per call —
+        every eager host-side slice was measured at ~150 us through
+        the dispatch tunnel, dominating the device time."""
+        from ..kernels.acs_pallas import _pad_to
+        dt = jnp.int8 if self._mode != "hard" else jnp.uint8
+        segments = jnp.asarray(segments, dt)
+        if segments.shape[0] != self.batch:
+            raise ValueError(f"batch {segments.shape[0]} != {self.batch}")
+        B = self.batch
+        self._in_steps += segments.shape[1]
+        if self._buf is None and segments.shape[1] % self._chunk == 0 \
+                and (segments.shape[1] or last):
+            proc = segments                      # fast path: no slicing
+        else:
+            buf = (segments if self._buf is None
+                   else jnp.concatenate([self._buf, segments], axis=1))
+            if last:
+                rem = (-buf.shape[1]) % self._chunk
+                if rem:
+                    pad = [(0, 0), (0, rem)] + [(0, 0)] * (buf.ndim - 2)
+                    buf = jnp.pad(buf, pad)
+                proc, self._buf = buf, None
+            else:
+                k = buf.shape[1] // self._chunk
+                proc = buf[:, :k * self._chunk]
+                self._buf = (buf[:, k * self._chunk:]
+                             if k * self._chunk < buf.shape[1] else None)
+        if not last and proc.shape[1] == 0:
+            return jnp.zeros((B, 0), jnp.uint8)
+        if last and proc.shape[1] == 0 and self._pending is None:
+            self.reset()
+            return jnp.zeros((B, 0), jnp.uint8)
+        if B % self._tile:
+            proc = _pad_to(proc, self._tile, 0)
+        last_info = None
+        if last:
+            live_rel = self._in_steps - self._emitted
+            n_final = max((self._in_steps - self.spec.S) - self._emitted, 0)
+            last_info = (live_rel, n_final)
+        bits, self._m, self._pending = _bsd_step(
+            self.spec, proc, self._m, self._pending,
+            self._keep * (self._chunk // 8), last_info, B,
+            self._mode, self._qmax, self.interpret)
+        if last:
+            self.reset()
+        else:
+            self._emitted += bits.shape[1]
+        return bits

@@ -196,3 +196,71 @@ def test_stream_traceback_len_must_exceed_s():
     out = viterbi_decode_stream(NASA_K7, segs,
                                 traceback_len=NASA_K7.S + 1)
     assert np.asarray(out).shape == (64 - NASA_K7.S,)
+
+
+def test_block_streaming_matches_one_shot():
+    """BlockStreamingDecoderBatch: exact carried-metric chunked decode
+    equals the one-shot block kernel across ragged chunk feeds."""
+    import convolutionalencdec_tpu as fec
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch
+    from convolutionalencdec_tpu.ops.streaming import (
+        BlockStreamingDecoderBatch)
+    spec = fec.NASA_K7
+    rng = np.random.default_rng(71)
+    B, L = 4, 700
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.03
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    want = np.asarray(viterbi_decode_batch(spec, coded, None, True))
+
+    for cuts in ([200, 410, 460], [48], [33, 77, 300, 555, 700],
+                 [coded.shape[1]]):
+        dec = BlockStreamingDecoderBatch(spec, batch=B, interpret=True)
+        got, prev = [], 0
+        edges = [c for c in cuts if c < coded.shape[1]] + [coded.shape[1]]
+        for i, edge in enumerate(edges):
+            got.append(dec.decode(coded[:, prev:edge],
+                                  last=(i == len(edges) - 1)))
+            prev = edge
+        got = np.concatenate(got, axis=1)
+        assert got.shape == (B, L), (cuts, got.shape)
+        np.testing.assert_array_equal(got, want, err_msg=str(cuts))
+
+
+def test_block_streaming_rejects_non_swar():
+    import convolutionalencdec_tpu as fec
+    from convolutionalencdec_tpu.ops.streaming import (
+        BlockStreamingDecoderBatch)
+    with pytest.raises(ValueError):
+        BlockStreamingDecoderBatch(fec.TOY_K3, batch=4)
+
+
+def test_block_streaming_soft_matches_one_shot():
+    """Soft block streaming (SWAR-8 and SWAR-16 dispatch) equals the
+    one-shot soft block kernel across chunk seams."""
+    import convolutionalencdec_tpu as fec
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch_soft
+    from convolutionalencdec_tpu.ops.streaming import (
+        BlockStreamingDecoderBatch)
+    rng = np.random.default_rng(73)
+    B, L = 4, 400
+    for spec, qmax in ((fec.NASA_K7, 7), (fec.NASA_K7, 31)):
+        msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+        coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+        flip = rng.random(coded.shape) < 0.03
+        coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+        planes = np.stack([(coded >> b) & 1 for b in range(spec.n)],
+                          axis=-1)
+        q = ((1 - 2 * planes.astype(np.int8)) * min(qmax, 7)).astype(
+            np.int8)
+        want = np.asarray(viterbi_decode_batch_soft(
+            spec, q, None, True, qmax))
+        dec = BlockStreamingDecoderBatch(spec, batch=B, interpret=True,
+                                         soft=True, qmax=qmax)
+        assert dec._mode == ("soft8" if qmax == 7 else "soft16")
+        g1 = np.asarray(dec.decode(q[:, :144]))
+        g2 = np.asarray(dec.decode(q[:, 144:250]))
+        g3 = np.asarray(dec.decode(q[:, 250:], last=True))
+        got = np.concatenate([g1, g2, g3], axis=1)
+        np.testing.assert_array_equal(got, want, err_msg=dec._mode)
