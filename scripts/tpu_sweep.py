@@ -271,6 +271,36 @@ def crc_list_k9():
     return "NS=256 multi-walk traceback (one-vreg tiles), bit-exact vs scan"
 check("K9 list decode (NS=256 multi-walk)", crc_list_k9)
 
+def block_streaming():
+    from convolutionalencdec_tpu.ops.streaming import (
+        BlockStreamingDecoderBatch)
+    spec = fec.NASA_K7
+    rng = np.random.default_rng(41)
+    B, L = 1024, 3000
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.03
+    coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    want = np.asarray(K.viterbi_decode_batch(spec, coded))
+    dec = fec.streaming.BlockStreamingDecoderBatch(spec, batch=B)
+    got = np.concatenate(
+        [np.asarray(dec.decode(coded[:, :960])),
+         np.asarray(dec.decode(coded[:, 960:2300])),
+         np.asarray(dec.decode(coded[:, 2300:], last=True))], axis=1)
+    assert (got == want).all(), "hard chunked != one-shot"
+    planes = np.stack([(coded >> b) & 1 for b in range(spec.n)], axis=-1)
+    q = ((1 - 2 * planes.astype(np.int8)) * 7).astype(np.int8)
+    wants = np.asarray(K.viterbi_decode_batch_soft(spec, q))
+    dec = BlockStreamingDecoderBatch(spec, batch=B, soft=True)
+    gots = np.concatenate(
+        [np.asarray(dec.decode(q[:, :960])),
+         np.asarray(dec.decode(q[:, 960:2300])),
+         np.asarray(dec.decode(q[:, 2300:], last=True))], axis=1)
+    assert (gots == wants).all(), "soft chunked != one-shot"
+    return ("hard + soft8 carried-metric chunked decode bit-exact vs "
+            "one-shot across ragged chunk seams")
+check("block-speed exact streaming", block_streaming)
+
 # --- device-truth throughput via profiler ---
 def profile_all():
     spec = fec.NASA_K7

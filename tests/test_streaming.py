@@ -264,3 +264,25 @@ def test_block_streaming_soft_matches_one_shot():
         g3 = np.asarray(dec.decode(q[:, 250:], last=True))
         got = np.concatenate([g1, g2, g3], axis=1)
         np.testing.assert_array_equal(got, want, err_msg=dec._mode)
+
+
+def test_block_streaming_rate13_dense_renorm():
+    """n=3 codes use the dense renorm cadence — the carried-metric seam
+    must stay exact there too."""
+    import convolutionalencdec_tpu as fec
+    from convolutionalencdec_tpu.kernels import viterbi_decode_batch
+    from convolutionalencdec_tpu.ops.streaming import (
+        BlockStreamingDecoderBatch)
+    spec = fec.NASA_K7_R13
+    rng = np.random.default_rng(79)
+    B, L = 4, 300
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
+    flip = rng.random(coded.shape) < 0.04
+    coded ^= (flip * rng.integers(1, 8, coded.shape)).astype(np.uint8)
+    want = np.asarray(viterbi_decode_batch(spec, coded, None, True))
+    dec = BlockStreamingDecoderBatch(spec, batch=B, interpret=True)
+    got = np.concatenate(
+        [np.asarray(dec.decode(coded[:, :120])),
+         np.asarray(dec.decode(coded[:, 120:], last=True))], axis=1)
+    np.testing.assert_array_equal(got, want)
