@@ -57,8 +57,13 @@ from .ops.crc import (
     crc_bits,
     crc_check,
 )
-from .ops import (channel, crc, maxlogmap, metrics, puncture, streaming,
-                  tailbiting)
+from .ops.ratematch import (
+    derate_match,
+    rate_match,
+    rate_match_segments,
+)
+from .ops import (channel, crc, maxlogmap, metrics, puncture, ratematch,
+                  streaming, tailbiting)
 
 # Subpackages imported lazily by most callers; exposed for discoverability.
 from . import kernels, parallel, harness
@@ -111,6 +116,10 @@ __all__ = [
     "channel",
     "metrics",
     "puncture",
+    "ratematch",
+    "rate_match",
+    "rate_match_segments",
+    "derate_match",
     "kernels",
     "parallel",
     "harness",

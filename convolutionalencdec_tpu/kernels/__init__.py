@@ -13,6 +13,7 @@ from .tailbiting import (viterbi_decode_batch_tailbiting,
                          viterbi_decode_batch_tailbiting_crc_soft,
                          viterbi_decode_batch_tailbiting_list,
                          viterbi_decode_batch_tailbiting_punctured_crc,
+                         viterbi_decode_batch_tailbiting_ratematched_crc,
                          viterbi_decode_batch_tailbiting_list_soft,
                          viterbi_decode_batch_tailbiting_soft,
                          viterbi_decode_batch_tailbiting_soft_bytes)
@@ -49,6 +50,7 @@ __all__ = [
     "viterbi_decode_batch_tailbiting_crc_soft",
     "viterbi_decode_batch_tailbiting_list",
     "viterbi_decode_batch_tailbiting_punctured_crc",
+    "viterbi_decode_batch_tailbiting_ratematched_crc",
     "viterbi_decode_batch_tailbiting_list_soft",
     "viterbi_decode_batch_tailbiting_soft",
     "viterbi_decode_batch_tailbiting_soft_bytes",

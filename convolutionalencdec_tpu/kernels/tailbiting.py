@@ -533,3 +533,33 @@ def viterbi_decode_batch_tailbiting_punctured_crc(
     q = q.reshape(q.shape[0], T, spec.n)
     return viterbi_decode_batch_tailbiting_crc_soft(
         spec, crc, q, list_size, wrap, interpret, qmax)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7))
+def viterbi_decode_batch_tailbiting_ratematched_crc(
+        spec: CodeSpec, crc, rx_qllrs, D: int,
+        list_size: int = 8, wrap: int | None = None,
+        interpret: bool = False, qmax: int | None = None):
+    """The standard-conformant LTE receive chain in ONE jit: 36.212
+    §5.1.4.2 de-rate-matching (sub-block deinterleave + circular-buffer
+    scatter-add, i.e. repetition soft combining / puncture erasures) ->
+    soft wrap list Viterbi -> CRC winner selection.
+
+    This is `viterbi_decode_batch_tailbiting_punctured_crc` with the
+    actual 3GPP bit mapping instead of a generic puncture pattern: E
+    (the channel-bit count, `rx_qllrs.shape[-1]`) may be anything —
+    E < 3D punctures, E > 3D repeats and the scatter-add combines the
+    copies' LLRs before the decoder sees them.
+
+    Args:
+      rx_qllrs: int [B, E] quantized LLRs in transmission order.
+      D: trellis steps (= payload+CRC bits for k=1) per block.
+    Returns:
+      (uint8 [B, D] decoded bits, bool [B] CRC ok, int32 [B] winner).
+    """
+    from ..ops.metrics import DEFAULT_QMAX
+    from ..ops.ratematch import derate_match
+    qm = DEFAULT_QMAX if qmax is None else qmax
+    q = derate_match(jnp.asarray(rx_qllrs), spec, D, qmax=qm)
+    return viterbi_decode_batch_tailbiting_crc_soft(
+        spec, crc, q, list_size, wrap, interpret, qmax)
