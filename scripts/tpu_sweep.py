@@ -301,6 +301,46 @@ def block_streaming():
             "one-shot across ragged chunk seams")
 check("block-speed exact streaming", block_streaming)
 
+def ratematched_rx():
+    from convolutionalencdec_tpu.ops.crc import CRC16_CCITT, crc_append
+    from convolutionalencdec_tpu.ops.ratematch import rate_match, derate_match
+    from convolutionalencdec_tpu.kernels import (
+        viterbi_decode_batch_tailbiting_crc_soft,
+        viterbi_decode_batch_tailbiting_ratematched_crc)
+    spec, crc = fec.LTE_TBCC_K7, CRC16_CCITT
+    rng = np.random.default_rng(47)
+    B, D, E = 2048, 56, 288          # DCI-like block, ~2x repetition
+    payload = rng.integers(0, 2, (B, D - 16), dtype=np.uint8)
+    msgs = np.asarray(crc_append(crc, payload))
+    coded = np.asarray(fec.encode_tailbiting(spec, msgs))
+    cbits = np.asarray(segments_to_bits(coded, spec.n))
+    tx = np.asarray(rate_match(cbits, spec, D, E)).astype(np.uint8)
+    sg = float(np.sqrt(1 / (2 * 10 ** (0.0 / 10) * (D / E))))
+    y = (1 - 2 * tx.astype(np.float64)) + sg * rng.standard_normal(tx.shape)
+    q = np.asarray(quantize_llrs(jnp.asarray(2 * y / sg ** 2),
+                                 qmax=7)).astype(np.int8)
+    out, ok, _ = viterbi_decode_batch_tailbiting_ratematched_crc(
+        spec, crc, q, D, 8)
+    out, ok = np.asarray(out), np.asarray(ok)
+    q2 = jnp.asarray(np.asarray(derate_match(q, spec, D, qmax=7)))
+    out2, ok2, _ = viterbi_decode_batch_tailbiting_crc_soft(
+        spec, crc, q2, 8)
+    assert (np.asarray(out2) == out).all() and (np.asarray(ok2) == ok).all()
+    blk = (out != msgs).any(1)
+    assert not (ok & blk).any(), "false accept"
+    # no-repetition baseline at the same noise must be strictly worse
+    tx1 = np.asarray(rate_match(cbits, spec, D, 168)).astype(np.uint8)
+    y1 = (1 - 2 * tx1.astype(np.float64)) + sg * rng.standard_normal(tx1.shape)
+    q1 = np.asarray(quantize_llrs(jnp.asarray(2 * y1 / sg ** 2),
+                                  qmax=7)).astype(np.int8)
+    o1, _, _ = viterbi_decode_batch_tailbiting_ratematched_crc(
+        spec, crc, q1, D, 8)
+    b1 = (np.asarray(o1) != msgs).any(1)
+    assert b1.sum() > blk.sum()
+    return (f"36.212 one-call == manual derate+decode; E=288 chase-combined "
+            f"blkerr {blk.sum()}/{B} vs E=168 {b1.sum()}; 0 false accepts")
+check("rate-matched receiver (36.212)", ratematched_rx)
+
 # --- device-truth throughput via profiler ---
 def profile_all():
     spec = fec.NASA_K7
