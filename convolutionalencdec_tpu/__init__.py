@@ -62,8 +62,22 @@ from .ops.ratematch import (
     rate_match,
     rate_match_segments,
 )
-from .ops import (channel, crc, maxlogmap, metrics, puncture, ratematch,
-                  streaming, tailbiting)
+from .ops.turbo import (
+    RscSpec,
+    qpp_interleaver,
+    turbo_decode,
+    turbo_decode_batch,
+    turbo_encode_np,
+)
+from .ops.lte import (
+    LTE_BLOCK_SIZES,
+    lte_turbo_decode,
+    lte_turbo_encode,
+    segment_tb,
+    desegment_tb,
+)
+from .ops import (channel, crc, lte, maxlogmap, metrics, puncture, ratematch,
+                  streaming, tailbiting, turbo)
 
 # Subpackages imported lazily by most callers; exposed for discoverability.
 from . import kernels, parallel, harness
@@ -120,6 +134,18 @@ __all__ = [
     "rate_match",
     "rate_match_segments",
     "derate_match",
+    "turbo",
+    "RscSpec",
+    "qpp_interleaver",
+    "turbo_encode_np",
+    "turbo_decode",
+    "turbo_decode_batch",
+    "lte",
+    "LTE_BLOCK_SIZES",
+    "lte_turbo_encode",
+    "lte_turbo_decode",
+    "segment_tb",
+    "desegment_tb",
     "kernels",
     "parallel",
     "harness",

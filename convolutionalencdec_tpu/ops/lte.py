@@ -1,0 +1,389 @@
+"""LTE transport-channel processing for turbo-coded channels (36.212 §5.1).
+
+Completes the production chain around `ops.turbo` the same way
+`ops.ratematch` completes it around the tail-biting convolutional
+decoder: code-block segmentation (§5.1.2, CRC24B per block, filler
+bits), the turbo internal interleaver parameter table (§5.1.3.2.3,
+Table 5.1.3-3 — all 188 block sizes), trellis-termination bit
+multiplexing (§5.1.3.2.2), and turbo rate matching (§5.1.4.1: three
+sub-block interleavers, systematic-first bit collection with the two
+parity streams interlaced, circular-buffer bit selection with
+redundancy versions and a soft-buffer limit).
+
+Beyond-reference territory (the reference stops at the convolutional
+codec, `/root/reference/src/convEncode.c`, `viterbiDecoder.c`), but the
+design rules are the framework's own: every standard procedure that
+permutes or selects bits collapses to a STATIC NumPy index map at
+trace time, so the TPU program sees one gather on transmit and one
+scatter-add on receive (repetition chase-combines for free; punctured
+positions stay at the soft decoders' zero-LLR erasure; filler bits are
+known zeros and re-enter the decoder as strong LLRs).
+
+Transcription note: `QPP_TABLE` is 36.212 Table 5.1.3-3 carried as
+golden data.  Every entry is validated to define a bijection the first
+time it is used (`turbo.qpp_interleaver` raises otherwise), and the
+chain is self-consistent end-to-end by construction — transmitter and
+receiver derive both directions from the same map.
+"""
+
+from __future__ import annotations
+
+import bisect
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import turbo as turbo_mod
+from .turbo import RscSpec, qpp_interleaver
+
+#: 36.212 Table 5.1.3-3: turbo code internal interleaver parameters,
+#: block length K -> (f1, f2) with pi(i) = (f1*i + f2*i^2) mod K.
+QPP_TABLE = {
+    40: (3, 10), 48: (7, 12), 56: (19, 42), 64: (7, 16),
+    72: (7, 18), 80: (11, 20), 88: (5, 22), 96: (11, 24),
+    104: (7, 26), 112: (41, 84), 120: (103, 90), 128: (15, 32),
+    136: (9, 34), 144: (17, 108), 152: (9, 38), 160: (21, 120),
+    168: (101, 84), 176: (21, 44), 184: (57, 46), 192: (23, 48),
+    200: (13, 50), 208: (27, 52), 216: (11, 36), 224: (27, 56),
+    232: (85, 58), 240: (29, 60), 248: (33, 62), 256: (15, 32),
+    264: (17, 198), 272: (33, 68), 280: (103, 210), 288: (19, 36),
+    296: (19, 74), 304: (37, 76), 312: (19, 78), 320: (21, 120),
+    328: (21, 82), 336: (115, 84), 344: (193, 86), 352: (21, 44),
+    360: (133, 90), 368: (81, 46), 376: (45, 94), 384: (23, 48),
+    392: (243, 98), 400: (151, 40), 408: (155, 102), 416: (25, 52),
+    424: (51, 106), 432: (47, 72), 440: (91, 110), 448: (29, 168),
+    456: (29, 114), 464: (247, 58), 472: (29, 118), 480: (89, 180),
+    488: (91, 122), 496: (157, 62), 504: (55, 84), 512: (31, 64),
+    528: (17, 66), 544: (35, 68), 560: (227, 420), 576: (65, 96),
+    592: (19, 74), 608: (37, 76), 624: (41, 234), 640: (39, 80),
+    656: (185, 82), 672: (43, 252), 688: (21, 86), 704: (155, 44),
+    720: (79, 120), 736: (139, 92), 752: (23, 94), 768: (217, 48),
+    784: (25, 98), 800: (17, 80), 816: (127, 102), 832: (25, 52),
+    848: (239, 106), 864: (17, 48), 880: (137, 110), 896: (215, 112),
+    912: (29, 114), 928: (15, 58), 944: (147, 118), 960: (29, 60),
+    976: (59, 122), 992: (65, 124), 1008: (55, 84), 1024: (31, 64),
+    1056: (17, 66), 1088: (171, 204), 1120: (67, 140), 1152: (35, 72),
+    1184: (19, 74), 1216: (39, 76), 1248: (19, 78), 1280: (199, 240),
+    1312: (21, 82), 1344: (211, 252), 1376: (21, 86), 1408: (43, 88),
+    1440: (149, 60), 1472: (45, 92), 1504: (49, 846), 1536: (71, 48),
+    1568: (13, 28), 1600: (17, 80), 1632: (25, 102), 1664: (183, 104),
+    1696: (55, 954), 1728: (127, 96), 1760: (27, 110), 1792: (29, 112),
+    1824: (29, 114), 1856: (57, 116), 1888: (45, 354), 1920: (31, 120),
+    1952: (59, 610), 1984: (185, 124), 2016: (113, 420), 2048: (31, 64),
+    2112: (17, 66), 2176: (171, 136), 2240: (209, 420), 2304: (253, 216),
+    2368: (367, 444), 2432: (265, 456), 2496: (181, 468), 2560: (39, 80),
+    2624: (27, 164), 2688: (127, 504), 2752: (143, 172), 2816: (43, 88),
+    2880: (29, 300), 2944: (45, 92), 3008: (157, 188), 3072: (47, 96),
+    3136: (13, 28), 3200: (111, 240), 3264: (443, 204), 3328: (51, 104),
+    3392: (51, 212), 3456: (451, 192), 3520: (257, 220), 3584: (57, 336),
+    3648: (313, 228), 3712: (271, 232), 3776: (179, 236), 3840: (331, 120),
+    3904: (363, 244), 3968: (375, 248), 4032: (127, 168), 4096: (31, 64),
+    4160: (33, 130), 4224: (43, 264), 4288: (33, 134), 4352: (477, 408),
+    4416: (35, 138), 4480: (233, 280), 4544: (357, 142), 4608: (337, 480),
+    4672: (37, 146), 4736: (71, 444), 4800: (71, 120), 4864: (37, 152),
+    4928: (39, 462), 4992: (127, 234), 5056: (39, 158), 5120: (39, 80),
+    5184: (31, 96), 5248: (113, 902), 5312: (41, 166), 5376: (251, 336),
+    5440: (43, 170), 5504: (21, 86), 5568: (43, 174), 5632: (45, 176),
+    5696: (45, 178), 5760: (161, 120), 5824: (89, 182), 5888: (323, 184),
+    5952: (47, 186), 6016: (23, 94), 6080: (47, 190), 6144: (263, 480),
+}
+
+#: Valid turbo code block sizes, ascending.
+LTE_BLOCK_SIZES = tuple(sorted(QPP_TABLE))
+
+#: LTE max code block size (36.212 §5.1.2).
+Z_MAX = 6144
+
+#: 36.212 Table 5.1.4-1: inter-column permutation for the TURBO
+#: sub-block interleaver (differs from the convolutional Table 5.1.4-2
+#: in `ops.ratematch.SUBBLOCK_PERM`).
+TURBO_SUBBLOCK_PERM = (
+    0, 16, 8, 24, 4, 20, 12, 28, 2, 18, 10, 26, 6, 22, 14, 30,
+    1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31,
+)
+
+NCOLS = 32
+
+
+@functools.lru_cache(maxsize=None)
+def lte_qpp(L: int) -> np.ndarray:
+    """The standard interleaver for block size L (must be in the table)."""
+    if L not in QPP_TABLE:
+        raise ValueError(f"L={L} is not an LTE turbo block size")
+    f1, f2 = QPP_TABLE[L]
+    return qpp_interleaver(L, f1, f2)
+
+
+# ---------------------------------------------------------------------------
+# §5.1.3.2.2 — trellis termination: multiplex the 12 tail bits onto the
+# three stream tails so every stream has length D = L + 4.
+
+def turbo_mux_streams(enc: dict) -> np.ndarray:
+    """Multiplex `turbo_encode_np`'s output dict into streams d [3, L+4].
+
+    Per 36.212 §5.1.3.2.2: d0 = systematic, d1 = parity1, d2 = parity2
+    for k < L; the 12 termination bits (x_K.., z_K.. of encoder 1 and
+    x'_K.., z'_K.. of encoder 2) fill the last 4 positions of each
+    stream in the standard's interlaced order.
+
+    Accepts both one block ([L] streams, [3] tails) and a batch
+    ([B, L] streams, [B, 3] tails) from `turbo_encode_batch_np`.
+    """
+    sys_, p1, p2 = (np.asarray(enc[k]) for k in ("sys", "par1", "par2"))
+    x, z = np.asarray(enc["sys_tail1"]), np.asarray(enc["par_tail1"])
+    xp, zp = np.asarray(enc["sys_tail2"]), np.asarray(enc["par_tail2"])
+    if x.shape[-1] != 3:
+        raise ValueError("LTE termination multiplexing needs S=3 (8-state)")
+    t = lambda *cols: np.stack(cols, axis=-1)
+    cat = lambda a, b: np.concatenate([a, b], axis=-1)
+    d0 = cat(sys_, t(x[..., 0], z[..., 1], xp[..., 0], zp[..., 1]))
+    d1 = cat(p1, t(z[..., 0], x[..., 2], zp[..., 0], xp[..., 2]))
+    d2 = cat(p2, t(x[..., 1], z[..., 2], xp[..., 1], zp[..., 2]))
+    return np.stack([d0, d1, d2], axis=-2).astype(sys_.dtype)
+
+
+def turbo_demux_tails(d):
+    """Invert `turbo_mux_streams` on (possibly soft) streams [..., 3, D].
+
+    Returns the 8 per-constituent fields `turbo_decode` consumes:
+    (l_sys, l_par1, l_par2, sys_tail1, par_tail1, sys_tail2, par_tail2),
+    message fields [..., L] and tails [..., 3].
+    """
+    d0, d1, d2 = d[..., 0, :], d[..., 1, :], d[..., 2, :]
+    L = d0.shape[-1] - 4
+    stack = jnp.stack if isinstance(d, jnp.ndarray) else np.stack
+    sys_tail1 = stack([d0[..., L], d2[..., L], d1[..., L + 1]], axis=-1)
+    par_tail1 = stack([d1[..., L], d0[..., L + 1], d2[..., L + 1]], axis=-1)
+    sys_tail2 = stack([d0[..., L + 2], d2[..., L + 2], d1[..., L + 3]],
+                      axis=-1)
+    par_tail2 = stack([d1[..., L + 2], d0[..., L + 3], d2[..., L + 3]],
+                      axis=-1)
+    return (d0[..., :L], d1[..., :L], d2[..., :L],
+            sys_tail1, par_tail1, sys_tail2, par_tail2)
+
+
+# ---------------------------------------------------------------------------
+# §5.1.4.1 — turbo rate matching as a static index map.
+
+@functools.lru_cache(maxsize=None)
+def _turbo_w_map(D: int, F: int) -> np.ndarray:
+    """The turbo circular buffer w as flat source indices.
+
+    Returns int32 [Kw = 3*R*32]: entry p is the flat source index
+    (stream*D + k, stream-major) feeding circular-buffer position p, or
+    -1 where the position holds a <NULL> (sub-block padding, or one of
+    the F filler-bit positions of streams 0 and 1, which §5.1.2 sets to
+    <NULL> and bit selection skips).
+
+    Layout per §5.1.4.1.2: v0 (interleaved d0) first, then v1 and v2
+    interlaced bit-by-bit.  v0/v1 use the Table 5.1.4-1 column
+    permutation; v2 uses the shifted map pi(k) = (P[k/R] + 32*(k%R)
+    + 1) mod KP (§5.1.4.1.1).
+    """
+    R = -(-D // NCOLS)
+    KP = R * NCOLS
+    ND = KP - D
+
+    # Streams 0/1: write row-major with ND leading NULLs, read permuted
+    # columns.  Output index j*R + r holds padded position r*32+P[j].
+    v01 = np.empty(KP, np.int32)
+    r = np.arange(R)
+    for j, c in enumerate(TURBO_SUBBLOCK_PERM):
+        v01[j * R:(j + 1) * R] = r * NCOLS + c - ND
+    v01[v01 < 0] = -1
+    # Filler positions (source bit index < F) are NULL in streams 0/1.
+    v01_f = v01.copy()
+    v01_f[(v01_f >= 0) & (v01_f < F)] = -1
+
+    # Stream 2: pi(k) addresses the same padded row-major buffer.
+    k = np.arange(KP)
+    perm = np.asarray(TURBO_SUBBLOCK_PERM, np.int64)
+    pi = (perm[k // R] + NCOLS * (k % R) + 1) % KP
+    v2 = (pi - ND).astype(np.int32)
+    v2[v2 < 0] = -1
+
+    def tag(v, stream):
+        out = v.copy()
+        out[out >= 0] += stream * D
+        return out
+
+    w = np.empty(3 * KP, np.int32)
+    w[:KP] = tag(v01_f, 0)
+    w[KP::2] = tag(v01_f, 1)
+    w[KP + 1::2] = tag(v2, 2)
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def turbo_ratematch_indices(D: int, E: int, rv: int = 0,
+                            Ncb: int | None = None,
+                            F: int = 0) -> np.ndarray:
+    """Bit-selection source indices for one turbo-coded block.
+
+    Returns int32 [E]: flat source indices (stream*D + k) of the
+    transmitted bits, in transmission order — the §5.1.4.1.2 loop
+    (start at k0 = R*(2*ceil(Ncb/(8R))*rv + 2), wrap modulo Ncb, skip
+    <NULL>s) evaluated once in NumPy.
+    """
+    R = -(-D // NCOLS)
+    KP = R * NCOLS
+    Kw = 3 * KP
+    Ncb = Kw if Ncb is None else min(Ncb, Kw)
+    w = _turbo_w_map(D, F)[:Ncb]
+    k0 = R * (2 * (-(-Ncb // (8 * R))) * rv + 2)
+    order = (k0 + np.arange(Ncb)) % Ncb
+    sel = w[order]
+    sel = sel[sel >= 0]
+    if sel.size == 0:
+        raise ValueError("soft buffer holds no transmittable bits")
+    reps = -(-E // sel.size)
+    return np.tile(sel, reps)[:E].astype(np.int32)
+
+
+def rate_match_turbo(d, E: int, rv: int = 0, Ncb: int | None = None,
+                     F: int = 0):
+    """Rate-match turbo streams d [..., 3, D] to E bits: ONE gather."""
+    D = d.shape[-1]
+    idx = jnp.asarray(turbo_ratematch_indices(D, E, rv, Ncb, F))
+    flat = jnp.reshape(jnp.asarray(d), d.shape[:-2] + (3 * D,))
+    return jnp.take(flat, idx, axis=-1)
+
+
+def derate_match_turbo(llrs, D: int, rv: int = 0, Ncb: int | None = None,
+                       F: int = 0, qmax: int | None = None,
+                       filler_llr: int = 0):
+    """Invert `rate_match_turbo` on received LLRs [..., E] → [..., 3, D].
+
+    Scatter-add: repeated transmissions of a coded bit chase-combine,
+    punctured positions stay at the zero-LLR erasure.  Filler positions
+    (known zeros) get `filler_llr` (pass a large positive value to give
+    the decoder the known bits).  `qmax` clips the combined LLRs.
+    """
+    llrs = jnp.asarray(llrs, jnp.int32)
+    E = llrs.shape[-1]
+    idx = jnp.asarray(turbo_ratematch_indices(D, E, rv, Ncb, F))
+    flat = jnp.zeros(llrs.shape[:-1] + (3 * D,), jnp.int32)
+    flat = flat.at[..., idx].add(llrs)
+    if qmax is not None:
+        flat = jnp.clip(flat, -qmax, qmax)
+    if F:
+        fidx = jnp.arange(F)
+        flat = flat.at[..., fidx].set(filler_llr)          # stream 0
+        flat = flat.at[..., D + fidx].set(filler_llr)      # stream 1
+    return jnp.reshape(flat, llrs.shape[:-1] + (3, D))
+
+
+# ---------------------------------------------------------------------------
+# §5.1.2 — code block segmentation.
+
+def segment_sizes(B: int) -> tuple[int, int, int, int, int]:
+    """Code-block segmentation arithmetic for a B-bit input.
+
+    Returns (C, Kp, Km, Cp, Cm): C blocks total, Cp of size Kp and Cm
+    of size Km (Kp > Km), plus F filler bits via
+    `Cp*Kp + Cm*Km - B'`.  Matches 36.212 §5.1.2 exactly (B' includes
+    the per-block CRC24B only when C > 1).
+    """
+    if B < 1:
+        raise ValueError("B must be positive")
+    if B <= Z_MAX:
+        C, Bp = 1, B
+    else:
+        C = -(-B // (Z_MAX - 24))
+        Bp = B + 24 * C
+    sizes = LTE_BLOCK_SIZES
+    kp_i = bisect.bisect_left(sizes, -(-Bp // C))
+    if kp_i >= len(sizes):
+        raise ValueError("block too large for the size table")
+    Kp = sizes[kp_i]
+    if C == 1:
+        return 1, Kp, 0, 1, 0
+    Km = sizes[kp_i - 1] if kp_i > 0 else 0
+    if Km:
+        dK = Kp - Km
+        Cm = (C * Kp - Bp) // dK
+    else:
+        Cm = 0
+    return C, Kp, Km, C - Cm, Cm
+
+
+def segment_tb(bits: np.ndarray):
+    """Segment a transport block (TB CRC already attached) per §5.1.2.
+
+    Returns (blocks, F): `blocks` a list of C uint8 arrays — each a
+    complete code block (filler zeros prepended to the first, CRC24B
+    appended to every block when C > 1) sized to the QPP table — and
+    the filler count F (fillers occupy block 0's first F positions and
+    are <NULL> for rate matching).
+    """
+    from .crc import CRC24B, crc_append
+    bits = np.asarray(bits, np.uint8)
+    B = bits.size
+    C, Kp, Km, Cp, Cm = segment_sizes(B)
+    payload = (Kp - 24 if C > 1 else Kp, Km - 24)
+    F = Cm * Km + Cp * Kp - (B + (24 * C if C > 1 else 0))
+    blocks, pos = [], 0
+    for c in range(C):
+        size = payload[0] if c >= Cm else payload[1]
+        take = size - (F if c == 0 else 0)
+        seg = bits[pos:pos + take]
+        pos += take
+        if c == 0:
+            seg = np.concatenate([np.zeros(F, np.uint8), seg])
+        if C > 1:
+            seg = np.asarray(crc_append(CRC24B, seg), np.uint8)
+        blocks.append(seg)
+    assert pos == B
+    return blocks, F
+
+
+def desegment_tb(blocks, F: int) -> np.ndarray:
+    """Invert `segment_tb`: strip fillers and per-block CRC24B."""
+    C = len(blocks)
+    out = []
+    for c, b in enumerate(blocks):
+        b = np.asarray(b, np.uint8)
+        if C > 1:
+            b = b[:-24]
+        if c == 0:
+            b = b[F:]
+        out.append(b)
+    return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
+# One-call transport-channel chain (single code block, the common case).
+
+def lte_turbo_encode(bits: np.ndarray, E: int, rv: int = 0,
+                     rsc: RscSpec = RscSpec(),
+                     Ncb: int | None = None, F: int = 0) -> np.ndarray:
+    """Encode one code block (len in `LTE_BLOCK_SIZES`) to E channel bits.
+
+    `F` filler bits (the block's first F positions, zeros from
+    `segment_tb`) are <NULL> for bit selection and never transmitted.
+    """
+    bits = np.asarray(bits, np.uint8)
+    L = bits.size
+    perm = lte_qpp(L)
+    d = turbo_mux_streams(turbo_mod.turbo_encode_np(rsc, bits, perm))
+    return np.asarray(rate_match_turbo(d, E, rv, Ncb, F), np.uint8)
+
+
+def lte_turbo_decode(llrs, L: int, rv: int = 0, n_iters: int = 6,
+                     rsc: RscSpec = RscSpec(), Ncb: int | None = None,
+                     qmax: int | None = 31, F: int = 0):
+    """Decode E received LLRs (positive favors 0) back to L bits.
+
+    One jitted program: scatter-add de-rate-matching (chase combining),
+    tail demultiplex, iterative max-log-MAP.  Batched when `llrs` has a
+    leading batch axis.  Returns (bits [..., L], a-posteriori LLRs).
+    """
+    filler = 0 if qmax is None else qmax
+    d = derate_match_turbo(llrs, L + 4, rv, Ncb, F=F, qmax=qmax,
+                           filler_llr=filler)
+    fields = turbo_demux_tails(d)
+    perm = lte_qpp(L)
+    if np.asarray(llrs).ndim == 1:
+        return turbo_mod.turbo_decode(rsc, *fields, tuple(perm), n_iters)
+    return turbo_mod.turbo_decode_batch(rsc, *fields, perm, n_iters)

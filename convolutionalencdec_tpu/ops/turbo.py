@@ -1,0 +1,333 @@
+"""Turbo codes: parallel-concatenated RSC with iterative max-log-MAP.
+
+A beyond-reference model family (the reference's encoder is strictly
+feed-forward, `/root/reference/src/convEncode.c:93` — it cannot express
+the recursive systematic constituents turbo codes are built from).
+This module adds the LTE data-channel code (36.212 §5.1.3.2): two
+8-state recursive systematic convolutional (RSC) encoders, g =
+(13, 15) octal, coupled by a QPP interleaver, decoded by exchanging
+extrinsic LLRs between two max-log-MAP (min-sum BCJR) passes.
+
+Everything lives in the framework's shared integer min-sum cost domain
+(`ops/metrics.py`, `ops/maxlogmap.py`): quantized LLRs in, positive
+favors bit 0, costs exact in int32 — so every stage is bit-exactly
+testable.  The BCJR recurrences are `maxlogmap_llrs`' with two
+extensions: an a-priori term on the input bit (the turbo exchange) and
+an RSC trellis (input bit ≠ state LSB, so the edge tables carry the
+parity and feedback bits explicitly).
+
+TPU mapping: the per-block trellis is tiny (8 states), so throughput
+comes from vmap over blocks — the scans vectorize across the batch
+axis exactly like the codec's scan references; the whole iterative
+decoder jits into one XLA program (iterations are a Python loop over
+a fixed count at trace time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bits import parity32_np
+
+#: Exclusion constant, same role as ops.maxlogmap.BIG.
+BIG = 1 << 28
+
+
+@dataclasses.dataclass(frozen=True)
+class RscSpec:
+    """A rate-1/2 recursive systematic convolutional constituent.
+
+    Polynomials follow the framework's Proakis big-endian convention
+    over K bits (MSB = newest input, `params.CodeSpec`): `g_fb` is the
+    feedback polynomial g0 (its MSB term is the current input), `g_fw`
+    the parity polynomial g1.  Default = the LTE turbo constituent
+    (36.212 §5.1.3.2): K=4, g0=13, g1=15 octal, 8 states.
+    """
+    K: int = 4
+    g_fb: int = 0o13
+    g_fw: int = 0o15
+
+    def __post_init__(self):
+        if not (self.g_fb >> (self.K - 1)) & 1:
+            raise ValueError("feedback polynomial must tap the current input")
+        for g in (self.g_fb, self.g_fw):
+            if g >= (1 << self.K):
+                raise ValueError("polynomial wider than K bits")
+
+    @property
+    def S(self) -> int:
+        return self.K - 1
+
+    @property
+    def num_states(self) -> int:
+        return 1 << self.S
+
+
+def rsc_step(rsc: RscSpec, state: int, u: int) -> tuple[int, int, int]:
+    """One RSC trellis step.
+
+    The register holds the last S feedback outputs w (newest at MSB,
+    like `CodeSpec.delay_width`'s tapped delay).  Returns
+    (next_state, systematic_bit, parity_bit)."""
+    S = rsc.S
+    fb_taps = rsc.g_fb & ((1 << S) - 1)          # D^1..D^S terms
+    w = u ^ int(parity32_np(np.uint32(state & fb_taps)))
+    window = (w << S) | state                     # K bits, newest at MSB
+    z = int(parity32_np(np.uint32(window & rsc.g_fw)))
+    nxt = (window >> 1) & ((1 << S) - 1)
+    return nxt, u, z
+
+
+def rsc_tail_input(rsc: RscSpec, state: int) -> int:
+    """The input bit that zeroes the feedback (termination: w = 0, so
+    the register shifts toward 0; S such steps reach state 0)."""
+    fb_taps = rsc.g_fb & ((1 << rsc.S) - 1)
+    return int(parity32_np(np.uint32(state & fb_taps)))
+
+
+@functools.lru_cache(maxsize=None)
+def rsc_tables(rsc: RscSpec):
+    """Trellis tables: for (u, state) the next state and parity bit;
+    plus the per-destination predecessor tables the forward pass
+    gathers through.  All derived from `rsc_step` — encoder and
+    decoder cannot disagree (the framework's `viterbiInit` rule)."""
+    NS = rsc.num_states
+    nxt = np.zeros((2, NS), np.int32)
+    par = np.zeros((2, NS), np.int32)
+    for s in range(NS):
+        for u in range(2):
+            ns, _, z = rsc_step(rsc, s, u)
+            nxt[u, s], par[u, s] = ns, z
+    prev = np.zeros((2, NS), np.int32)      # prev[e, d]: e-th predecessor
+    pu = np.zeros((2, NS), np.int32)        # input bit on that edge
+    fill = np.zeros(NS, np.int64)
+    for s in range(NS):
+        for u in range(2):
+            d = nxt[u, s]
+            prev[fill[d], d] = s
+            pu[fill[d], d] = u
+            fill[d] += 1
+    assert (fill == 2).all(), "RSC trellis must be 2-regular"
+    return nxt, par, prev, pu
+
+
+def rsc_encode_np(rsc: RscSpec, bits: np.ndarray):
+    """NumPy RSC encode of one block with termination.
+
+    Returns (sys [L], par [L], sys_tail [S], par_tail [S]) — the tail
+    systematic bits are the forced termination inputs (transmitted in
+    LTE's 12-tail-bit field, not known a priori to the receiver)."""
+    bits = np.asarray(bits, np.uint8)
+    s = 0
+    sys_, par = np.empty_like(bits), np.empty_like(bits)
+    for i, u in enumerate(bits):
+        s, x, z = rsc_step(rsc, s, int(u))
+        sys_[i], par[i] = x, z
+    st, pt = np.empty(rsc.S, np.uint8), np.empty(rsc.S, np.uint8)
+    for i in range(rsc.S):
+        u = rsc_tail_input(rsc, s)
+        s, x, z = rsc_step(rsc, s, u)
+        st[i], pt[i] = x, z
+    assert s == 0
+    return sys_, par, st, pt
+
+
+def rsc_encode_batch_np(rsc: RscSpec, bits: np.ndarray):
+    """Vectorized RSC encode of a [B, L] batch (table-driven, one
+    NumPy step per trellis step — same outputs as `rsc_encode_np`)."""
+    bits = np.asarray(bits, np.uint8)
+    B, L = bits.shape
+    nxt, par, _, _ = rsc_tables(rsc)
+    tail_u = np.array([rsc_tail_input(rsc, s) for s in range(rsc.num_states)],
+                      np.uint8)
+    s = np.zeros(B, np.int32)
+    parity = np.empty((B, L), np.uint8)
+    for t in range(L):
+        u = bits[:, t]
+        parity[:, t] = par[u, s]
+        s = nxt[u, s]
+    st = np.empty((B, rsc.S), np.uint8)
+    pt = np.empty((B, rsc.S), np.uint8)
+    for i in range(rsc.S):
+        u = tail_u[s]
+        st[:, i] = u
+        pt[:, i] = par[u, s]
+        s = nxt[u, s]
+    assert (s == 0).all()
+    return bits, parity, st, pt
+
+
+def turbo_encode_batch_np(rsc: RscSpec, bits: np.ndarray, perm: np.ndarray):
+    """Batched `turbo_encode_np`: [B, L] bits -> dict of [B, ...] streams."""
+    bits = np.asarray(bits, np.uint8)
+    sys_, par1, st1, pt1 = rsc_encode_batch_np(rsc, bits)
+    _, par2, st2, pt2 = rsc_encode_batch_np(rsc, bits[:, np.asarray(perm)])
+    return {"sys": sys_, "par1": par1, "par2": par2,
+            "sys_tail1": st1, "par_tail1": pt1,
+            "sys_tail2": st2, "par_tail2": pt2}
+
+
+# ---------------------------------------------------------------------------
+# QPP interleaver (36.212 §5.1.3.2.3): pi(i) = (f1*i + f2*i^2) mod L.
+
+#: Subset of 36.212 Table 5.1.3-3 (block length -> (f1, f2)).  Any
+#: (f1, f2) meeting the QPP contention-free conditions is accepted by
+#: `qpp_interleaver`; this table carries the commonly exercised sizes.
+QPP_PARAMS = {
+    40: (3, 10),
+    6144: (263, 480),
+}
+
+
+def qpp_interleaver(L: int, f1: int | None = None,
+                    f2: int | None = None) -> np.ndarray:
+    """QPP permutation pi with pi[i] = (f1*i + f2*i^2) mod L.
+
+    Defaults to `QPP_PARAMS[L]`.  Validates the result is a
+    permutation (QPP is bijective iff the standard's divisibility
+    conditions on f1, f2 hold)."""
+    if f1 is None or f2 is None:
+        if L not in QPP_PARAMS:
+            raise ValueError(
+                f"no stored QPP parameters for L={L}; pass f1, f2")
+        f1, f2 = QPP_PARAMS[L]
+    i = np.arange(L, dtype=np.int64)
+    pi = ((f1 * i + f2 * i * i) % L).astype(np.int32)
+    if np.unique(pi).size != L:
+        raise ValueError(f"(f1={f1}, f2={f2}) is not a QPP for L={L}")
+    return pi
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+
+def turbo_encode_np(rsc: RscSpec, bits: np.ndarray, perm: np.ndarray):
+    """LTE turbo encode of one block (NumPy oracle-grade).
+
+    Returns a dict of streams: systematic `sys` [L], parities `par1`,
+    `par2` [L], and the two constituents' termination fields
+    (`sys_tail1`, `par_tail1`, `sys_tail2`, `par_tail2`, each [S]) —
+    the 12 tail bits for the LTE constituent.  Rate = L / (3L + 4S).
+    """
+    bits = np.asarray(bits, np.uint8)
+    sys_, par1, st1, pt1 = rsc_encode_np(rsc, bits)
+    _, par2, st2, pt2 = rsc_encode_np(rsc, bits[np.asarray(perm)])
+    return {"sys": sys_, "par1": par1, "par2": par2,
+            "sys_tail1": st1, "par_tail1": pt1,
+            "sys_tail2": st2, "par_tail2": pt2}
+
+
+# ---------------------------------------------------------------------------
+# Constituent max-log-MAP with a-priori input
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def rsc_maxlogmap(rsc: RscSpec, l_sys, l_par, l_apriori,
+                  l_sys_tail, l_par_tail):
+    """A-posteriori LLRs of one RSC block via max-log-MAP.
+
+    All inputs are integer quantized LLRs (positive favors bit 0):
+      l_sys, l_par, l_apriori: [L] message-step channel/a-priori LLRs.
+      l_sys_tail, l_par_tail: [S] termination-step channel LLRs.
+
+    Returns int32 [L] full a-posteriori LLRs of the message bits.
+    Extrinsic for the turbo exchange = Lapp - l_sys - l_apriori.
+
+    The backward pass is anchored at state 0 through the S tail steps;
+    the tail input is trellis-forced, so leaving u free under the
+    anchor admits exactly the termination path per start state (the
+    trellis is 2-regular and the zero-feedback path is unique).
+    """
+    NS = rsc.num_states
+    nxt, par, prev, pu = (jnp.asarray(t) for t in rsc_tables(rsc))
+    l_sys = jnp.asarray(l_sys, jnp.int32)
+    l_par = jnp.asarray(l_par, jnp.int32)
+    l_apriori = jnp.asarray(l_apriori, jnp.int32)
+    l_u = l_sys + l_apriori
+    L = l_sys.shape[0]
+
+    # Branch cost per (t, u, s): u*(l_u) + parity(u,s)*l_par; tail steps
+    # carry channel terms only (no a-priori on forced inputs).
+    lu_all = jnp.concatenate([l_u, jnp.asarray(l_sys_tail, jnp.int32)])
+    lp_all = jnp.concatenate([l_par, jnp.asarray(l_par_tail, jnp.int32)])
+    u_arr = jnp.arange(2, dtype=jnp.int32)[:, None]          # [2, 1]
+    bm = (u_arr[None] * lu_all[:, None, None]
+          + par[None] * lp_all[:, None, None])               # [L+S, 2, NS]
+
+    big = jnp.asarray(BIG, jnp.int32)
+    a0 = jnp.full((NS,), big, jnp.int32).at[0].set(0)
+
+    def fstep(m, bm_t):
+        # alpha_{t+1}(d) = min_e alpha_t(prev[e,d]) + bm_t(pu[e,d], prev)
+        cand = m[prev] + bm_t[pu, prev]                       # [2, NS]
+        return jnp.min(cand, axis=0), m
+
+    _, alphas = jax.lax.scan(fstep, a0, bm)                   # alpha_t
+
+    bT = jnp.full((NS,), big, jnp.int32).at[0].set(0)
+
+    def bstep(b, bm_t):
+        cand = bm_t + b[nxt]                                  # [2(u), NS(s)]
+        return jnp.min(cand, axis=0), cand
+
+    _, cands = jax.lax.scan(bstep, bT, bm, reverse=True)
+    tot = alphas[:, None, :] + cands                          # [L+S, 2, NS]
+    per_u = jnp.min(tot[:L], axis=2)                          # [L, 2]
+    return (per_u[:, 1] - per_u[:, 0]).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8, 9))
+def turbo_decode(rsc: RscSpec, l_sys, l_par1, l_par2,
+                 l_sys_tail1, l_par_tail1, l_sys_tail2, l_par_tail2,
+                 perm: tuple, n_iters: int = 6):
+    """Iterative turbo decode of one block (max-log-MAP exchange).
+
+    Args:
+      l_sys/l_par1/l_par2: [L] integer channel LLRs of the systematic
+        and the two parity streams (positive favors 0; punctured or
+        un-transmitted positions are 0 — e.g. rate matching).
+      l_*_tail1/2: [S] LLRs of each constituent's 12-tail-bit field.
+      perm: the interleaver as a tuple (static), e.g.
+        `tuple(qpp_interleaver(L))`.
+      n_iters: full DEC1->DEC2 exchanges (unrolled at trace time).
+
+    Returns (uint8 [L] decoded bits, int32 [L] final a-posteriori LLRs).
+
+    Max-log extrinsic is scaled by 3/4 (integer >> with rounding) —
+    the standard correction for the max-log approximation's
+    overconfidence.
+    """
+    pi = jnp.asarray(np.asarray(perm, np.int32))
+    l_sys = jnp.asarray(l_sys, jnp.int32)
+    L = l_sys.shape[0]
+    la1 = jnp.zeros((L,), jnp.int32)
+    l_sys_i = l_sys[pi]
+    lapp2 = jnp.zeros((L,), jnp.int32)
+    for _ in range(n_iters):
+        lapp1 = rsc_maxlogmap(rsc, l_sys, l_par1, la1,
+                              l_sys_tail1, l_par_tail1)
+        le1 = lapp1 - l_sys - la1
+        la2 = (3 * le1[pi]) // 4
+        lapp2 = rsc_maxlogmap(rsc, l_sys_i, l_par2, la2,
+                              l_sys_tail2, l_par_tail2)
+        le2 = lapp2 - l_sys_i - la2
+        la1 = jnp.zeros((L,), jnp.int32).at[pi].set((3 * le2) // 4)
+    lapp = jnp.zeros((L,), jnp.int32).at[pi].set(lapp2)
+    return (lapp < 0).astype(jnp.uint8), lapp
+
+
+def turbo_decode_batch(rsc: RscSpec, l_sys, l_par1, l_par2,
+                       l_sys_tail1, l_par_tail1, l_sys_tail2,
+                       l_par_tail2, perm, n_iters: int = 6):
+    """vmap of `turbo_decode` over a leading batch axis."""
+    perm = tuple(int(p) for p in np.asarray(perm))
+    return jax.vmap(
+        lambda a, b, c, d, e, f, g: turbo_decode(
+            rsc, a, b, c, d, e, f, g, perm, n_iters)
+    )(jnp.asarray(l_sys), jnp.asarray(l_par1), jnp.asarray(l_par2),
+      jnp.asarray(l_sys_tail1), jnp.asarray(l_par_tail1),
+      jnp.asarray(l_sys_tail2), jnp.asarray(l_par_tail2))

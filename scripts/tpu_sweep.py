@@ -341,6 +341,35 @@ def ratematched_rx():
             f"blkerr {blk.sum()}/{B} vs E=168 {b1.sum()}; 0 false accepts")
 check("rate-matched receiver (36.212)", ratematched_rx)
 
+def turbo_lte_chain():
+    from convolutionalencdec_tpu.ops import lte
+    from convolutionalencdec_tpu.ops.turbo import (RscSpec,
+                                                   turbo_encode_batch_np)
+    rsc = RscSpec()
+    rng = np.random.default_rng(17)
+    B, L = 512, 1024
+    E = 2 * L  # rate ~1/2 via 36.212 puncturing
+    bits = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    d = turbo_encode_batch_np(rsc, bits, lte.lte_qpp(L))
+    tx = np.asarray(lte.rate_match_turbo(lte.turbo_mux_streams(d), E))
+    sg = float(np.sqrt(1 / (2 * 10 ** (1.5 / 10) * (L / E))))
+    y = (1 - 2 * tx.astype(np.float64)) + sg * rng.standard_normal(tx.shape)
+    q = np.clip(np.round(2 * y / sg ** 2), -31, 31).astype(np.int32)
+    dec, _ = lte.lte_turbo_decode(jnp.asarray(q), L, n_iters=6)
+    dec = np.asarray(jax.block_until_ready(dec))
+    ber = float((dec != bits).mean())
+    blk = int((dec != bits).any(1).sum())
+    assert ber < 2e-3, ber
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = lte.lte_turbo_decode(jnp.asarray(q), L, n_iters=6)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 3
+    mbps = B * L / dt / 1e6
+    return (f"turbo rate-1/2 @1.5dB: BER {ber:.1e}, blkerr {blk}/{B}; "
+            f"{mbps:.0f} Mbit/s (6 iter, B={B}xL={L})")
+check("LTE turbo chain (encode/ratematch/decode)", turbo_lte_chain)
+
 # --- device-truth throughput via profiler ---
 def profile_all():
     spec = fec.NASA_K7
