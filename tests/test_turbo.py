@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from convolutionalencdec_tpu.ops.turbo import (
-    QPP_PARAMS, RscSpec, qpp_interleaver, rsc_encode_np, rsc_maxlogmap,
+    QPP_TABLE, RscSpec, qpp_interleaver, rsc_encode_np, rsc_maxlogmap,
     rsc_step, rsc_tables, turbo_decode, turbo_decode_batch,
     turbo_encode_np)
 
@@ -69,10 +69,14 @@ def test_qpp_known_values_and_permutation():
     pi = qpp_interleaver(40)
     assert list(pi[:4]) == [0, 13, 6, 19]   # (3i + 10i^2) mod 40
     assert sorted(pi) == list(range(40))
-    for L, (f1, f2) in QPP_PARAMS.items():
-        assert sorted(qpp_interleaver(L, f1, f2)) == list(range(L))
+    # the single source of truth is the full 36.212 table
+    assert len(QPP_TABLE) == 188
+    assert sorted(qpp_interleaver(48)) == list(range(48))
+    for L in (40, 512, 6144):
+        f1, f2 = QPP_TABLE[L]
+        assert (qpp_interleaver(L) == qpp_interleaver(L, f1, f2)).all()
     with pytest.raises(ValueError):
-        qpp_interleaver(48)                 # size not stored
+        qpp_interleaver(44)                 # not an LTE block size
     with pytest.raises(ValueError):
         qpp_interleaver(40, 2, 3)           # not bijective
 
