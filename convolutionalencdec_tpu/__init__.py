@@ -65,14 +65,17 @@ from .ops.ratematch import (
 from .ops.turbo import (
     RscSpec,
     qpp_interleaver,
+    rsc_encode_batch,
     turbo_decode,
     turbo_decode_batch,
+    turbo_encode_batch,
     turbo_encode_np,
 )
 from .ops.lte import (
     LTE_BLOCK_SIZES,
     lte_turbo_decode,
     lte_turbo_encode,
+    lte_turbo_encode_batch,
     segment_tb,
     desegment_tb,
 )
@@ -138,11 +141,14 @@ __all__ = [
     "RscSpec",
     "qpp_interleaver",
     "turbo_encode_np",
+    "turbo_encode_batch",
+    "rsc_encode_batch",
     "turbo_decode",
     "turbo_decode_batch",
     "lte",
     "LTE_BLOCK_SIZES",
     "lte_turbo_encode",
+    "lte_turbo_encode_batch",
     "lte_turbo_decode",
     "segment_tb",
     "desegment_tb",

@@ -31,6 +31,7 @@ from __future__ import annotations
 import bisect
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,17 +79,18 @@ def turbo_mux_streams(enc: dict) -> np.ndarray:
     Accepts both one block ([L] streams, [3] tails) and a batch
     ([B, L] streams, [B, 3] tails) from `turbo_encode_batch_np`.
     """
-    sys_, p1, p2 = (np.asarray(enc[k]) for k in ("sys", "par1", "par2"))
-    x, z = np.asarray(enc["sys_tail1"]), np.asarray(enc["par_tail1"])
-    xp, zp = np.asarray(enc["sys_tail2"]), np.asarray(enc["par_tail2"])
+    ns = jnp if isinstance(enc["sys"], jnp.ndarray) else np
+    sys_, p1, p2 = (ns.asarray(enc[k]) for k in ("sys", "par1", "par2"))
+    x, z = ns.asarray(enc["sys_tail1"]), ns.asarray(enc["par_tail1"])
+    xp, zp = ns.asarray(enc["sys_tail2"]), ns.asarray(enc["par_tail2"])
     if x.shape[-1] != 3:
         raise ValueError("LTE termination multiplexing needs S=3 (8-state)")
-    t = lambda *cols: np.stack(cols, axis=-1)
-    cat = lambda a, b: np.concatenate([a, b], axis=-1)
+    t = lambda *cols: ns.stack(cols, axis=-1)
+    cat = lambda a, b: ns.concatenate([a, b], axis=-1)
     d0 = cat(sys_, t(x[..., 0], z[..., 1], xp[..., 0], zp[..., 1]))
     d1 = cat(p1, t(z[..., 0], x[..., 2], zp[..., 0], xp[..., 2]))
     d2 = cat(p2, t(x[..., 1], z[..., 2], xp[..., 1], zp[..., 2]))
-    return np.stack([d0, d1, d2], axis=-2).astype(sys_.dtype)
+    return ns.stack([d0, d1, d2], axis=-2).astype(sys_.dtype)
 
 
 def turbo_demux_tails(d):
@@ -316,6 +318,24 @@ def lte_turbo_encode(bits: np.ndarray, E: int, rv: int = 0,
     perm = lte_qpp(L)
     d = turbo_mux_streams(turbo_mod.turbo_encode_np(rsc, bits, perm))
     return np.asarray(rate_match_turbo(d, E, rv, Ncb, F), np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def lte_turbo_encode_batch(bits, E: int, rv: int = 0,
+                           rsc: RscSpec = RscSpec(),
+                           Ncb: int | None = None, F: int = 0):
+    """Jitted batched transmit chain: [B, L] bits -> [B, E] channel bits.
+
+    One XLA program: parallel-prefix RSC encode of both constituents
+    (`turbo.rsc_encode_batch`), tail multiplexing, and the rate-matching
+    gather.  L must be in `LTE_BLOCK_SIZES`; the NumPy
+    `lte_turbo_encode` stays as the single-block oracle.
+    """
+    bits = jnp.asarray(bits, jnp.uint8)
+    L = bits.shape[-1]
+    perm = lte_qpp(L)
+    d = turbo_mux_streams(turbo_mod.turbo_encode_batch(rsc, bits, perm))
+    return rate_match_turbo(d, E, rv, Ncb, F).astype(jnp.uint8)
 
 
 def lte_turbo_decode(llrs, L: int, rv: int = 0, n_iters: int = 6,

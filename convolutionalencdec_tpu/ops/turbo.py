@@ -173,6 +173,156 @@ def turbo_encode_batch_np(rsc: RscSpec, bits: np.ndarray, perm: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# TPU-native RSC encode: the recursion is a GF(2) IIR filter, and the
+# impulse response of 1/g_fb is PURELY PERIODIC (period p | 2^S - 1)
+# whenever g_fb taps the oldest register bit — so the whole recursive
+# encode collapses to per-residue-class cumulative XORs (one log-depth
+# `lax.associative_scan`) plus static shifted XORs for the g_fw FIR.
+# No sequential trellis walk: the same packet-at-once treatment
+# `ops/encode.py` gives the feed-forward reference encoder
+# (/root/reference/src/convEncode.c:46-130), extended to feedback.
+
+def _parity_bits(x, mask: int):
+    """Elementwise parity of (x & mask) via unrolled bit XORs."""
+    out = None
+    b = 0
+    while mask >> b:
+        if (mask >> b) & 1:
+            t = (x >> b) & 1
+            out = t if out is None else out ^ t
+        b += 1
+    return jnp.zeros_like(x) if out is None else out
+
+
+@functools.lru_cache(maxsize=None)
+def _rsc_impulse_period(rsc: RscSpec):
+    """(P, p): the purely periodic impulse response of 1/g_fb(D).
+
+    Returns None when the response is not purely periodic from index 0
+    (only possible when g_fb lacks the D^S tap, making the state map
+    non-invertible) — callers fall back to the scan encoder.  The
+    periodicity proof is by state return: with u = delta, the state
+    sequence is autonomous for t >= 1, so s_{1+p} == s_1 plus
+    h_p == h_0 imply h_{t+p} == h_t for every t.
+    """
+    S = rsc.S
+    fb = rsc.g_fb & ((1 << S) - 1)
+    h, states = [], []
+    s = 0
+    for t in range(2 * (1 << S) + 2):
+        states.append(s)
+        u = 1 if t == 0 else 0
+        w = u ^ int(bin(s & fb).count("1") & 1)
+        h.append(w)
+        s = ((w << S) | s) >> 1
+    for p in range(1, (1 << S)):
+        if p + 1 < len(states) and states[p + 1] == states[1] and h[p] == h[0]:
+            return tuple(h[:p]), p
+    return None
+
+
+def _rsc_encode_batch_scan(rsc: RscSpec, bits):
+    """Table-driven jitted fallback (one lax.scan step per trellis step)."""
+    nxt, par, _, _ = rsc_tables(rsc)
+    nxt_f = jnp.asarray((nxt[1] * 1).astype(np.int32))      # u=1 next
+    nxt_0 = jnp.asarray(nxt[0].astype(np.int32))
+    par_1 = jnp.asarray(par[1].astype(np.int32))
+    par_0 = jnp.asarray(par[0].astype(np.int32))
+    tail_u = jnp.asarray(np.array(
+        [rsc_tail_input(rsc, s) for s in range(rsc.num_states)], np.int32))
+    u_t = jnp.asarray(bits, jnp.int32).T                     # [L, B]
+    B = u_t.shape[1]
+
+    def step(s, u):
+        z = jnp.where(u == 1, par_1[s], par_0[s])
+        return jnp.where(u == 1, nxt_f[s], nxt_0[s]), z
+
+    s, zs = jax.lax.scan(step, jnp.zeros((B,), jnp.int32), u_t)
+    st, pt = [], []
+    for _ in range(rsc.S):
+        u = tail_u[s]
+        s, z = step(s, u)
+        st.append(u)
+        pt.append(z)
+    return (jnp.asarray(bits, jnp.uint8), zs.T.astype(jnp.uint8),
+            jnp.stack(st, axis=1).astype(jnp.uint8),
+            jnp.stack(pt, axis=1).astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def rsc_encode_batch(rsc: RscSpec, bits):
+    """Jitted batched RSC encode: [B, L] bits -> (sys, par, st, pt).
+
+    Same outputs as `rsc_encode_batch_np` (which stays as the oracle),
+    computed without any sequential recurrence via the periodic-impulse
+    decomposition: w = u convolved with the p-periodic response of
+    1/g_fb (cumulative XOR per residue class mod p), parity = the g_fw
+    FIR of w, termination fields from the final state.
+    """
+    bits = jnp.asarray(bits, jnp.uint8)
+    B, L = bits.shape
+    S = rsc.S
+    hp = _rsc_impulse_period(rsc)
+    if hp is None:
+        return _rsc_encode_batch_scan(rsc, bits)
+    P, p = hp
+    dset = [d for d in range(p) if P[d]]
+
+    # w_t = XOR_{j <= t, (t-j) mod p in dset} u_j, via residue-class
+    # cumulative XORs C[m, r] = XOR_{m' <= m} u[m'*p + r].
+    M = -(-L // p)
+    U = jnp.pad(bits, ((0, 0), (0, M * p - L))).reshape(B, M, p)
+    C = jax.lax.associative_scan(jnp.bitwise_xor, U, axis=1)
+    Cprev = jnp.pad(C, ((0, 0), (1, 0), (0, 0)))[:, :M]
+    q = np.arange(p)
+    w = jnp.zeros((B, M, p), jnp.uint8)
+    for d in dset:
+        r = (q - d) % p                    # residue feeding output phase q
+        use_cur = jnp.asarray(r <= q)      # class r already updated at q
+        w = w ^ jnp.where(use_cur[None, None, :],
+                          jnp.take(C, jnp.asarray(r), axis=2),
+                          jnp.take(Cprev, jnp.asarray(r), axis=2))
+    w = w.reshape(B, M * p)[:, :L]
+
+    # parity: z_t = XOR over lags l of w_{t-l}, lags from g_fw's taps
+    # (bit j of g_fw taps w_{t-(S-j)}).
+    z = jnp.zeros_like(w)
+    for j in range(S + 1):
+        if (rsc.g_fw >> j) & 1:
+            l = S - j
+            z = z ^ (jnp.pad(w, ((0, 0), (l, 0)))[:, :L] if l else w)
+
+    # termination: final state bits are the last S w's (bit i = w_{L-S+i}).
+    wpad = jnp.pad(w, ((0, 0), (S, 0)))
+    s = jnp.zeros((B,), jnp.int32)
+    for i in range(S):
+        s = s | (wpad[:, L + i].astype(jnp.int32) << i)
+    fb = rsc.g_fb & ((1 << S) - 1)
+    fw_low = rsc.g_fw & ((1 << S) - 1)     # tail steps force w = 0
+    st, pt = [], []
+    for _ in range(S):
+        st.append(_parity_bits(s, fb))
+        pt.append(_parity_bits(s, fw_low))
+        s = s >> 1
+    return (bits, z,
+            jnp.stack(st, axis=1).astype(jnp.uint8),
+            jnp.stack(pt, axis=1).astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def turbo_encode_batch(rsc: RscSpec, bits, perm):
+    """Jitted batched turbo encode: [B, L] bits -> dict of jnp streams
+    (same keys/shapes as `turbo_encode_batch_np`, the oracle)."""
+    bits = jnp.asarray(bits, jnp.uint8)
+    sys_, par1, st1, pt1 = rsc_encode_batch(rsc, bits)
+    perm = jnp.asarray(perm, jnp.int32)
+    _, par2, st2, pt2 = rsc_encode_batch(rsc, jnp.take(bits, perm, axis=1))
+    return {"sys": sys_, "par1": par1, "par2": par2,
+            "sys_tail1": st1, "par_tail1": pt1,
+            "sys_tail2": st2, "par_tail2": pt2}
+
+
+# ---------------------------------------------------------------------------
 # QPP interleaver (36.212 §5.1.3.2.3): pi(i) = (f1*i + f2*i^2) mod L.
 
 #: 36.212 Table 5.1.3-3: turbo code internal interleaver parameters,

@@ -100,6 +100,17 @@ def test_rv_offsets_differ_but_same_content():
     assert sorted(full0.tolist()) == sorted(full2.tolist())
 
 
+def test_lte_turbo_encode_batch_matches_oracle():
+    rng = np.random.default_rng(21)
+    B, L = 6, 104
+    bits = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    for E, rv, F in ((3 * 108, 0, 0), (150, 2, 4)):
+        got = np.asarray(lte.lte_turbo_encode_batch(bits, E, rv=rv, F=F))
+        want = np.stack([lte.lte_turbo_encode(b, E, rv=rv, F=F)
+                         for b in bits])
+        np.testing.assert_array_equal(got, want, err_msg=f"E={E} rv={rv}")
+
+
 def test_e2e_noiseless_exact_and_punctured():
     rng = np.random.default_rng(2)
     L = 40

@@ -6,9 +6,10 @@ import numpy as np
 import pytest
 
 from convolutionalencdec_tpu.ops.turbo import (
-    QPP_TABLE, RscSpec, qpp_interleaver, rsc_encode_np, rsc_maxlogmap,
+    QPP_TABLE, RscSpec, _rsc_impulse_period, qpp_interleaver,
+    rsc_encode_batch, rsc_encode_batch_np, rsc_encode_np, rsc_maxlogmap,
     rsc_step, rsc_tables, turbo_decode, turbo_decode_batch,
-    turbo_encode_np)
+    turbo_encode_batch, turbo_encode_batch_np, turbo_encode_np)
 
 RSC = RscSpec()  # LTE: K=4, g0=13, g1=15 octal
 
@@ -44,6 +45,49 @@ def test_rsc_encoder_vs_literal_oracle():
         want = _rsc_oracle(bits)
         for g, w in zip(got, want):
             assert (g == w).all()
+
+
+def test_rsc_impulse_period_lte():
+    # 1/g_fb for g_fb=13 octal is purely periodic with period 7:
+    # [1,0,1,1,1,0,0] — the basis of the parallel-prefix encoder.
+    P, p = _rsc_impulse_period(RSC)
+    assert p == 7 and list(P) == [1, 0, 1, 1, 1, 0, 0]
+
+
+def test_rsc_encode_batch_jit_vs_oracle():
+    rng = np.random.default_rng(12)
+    for spec in (RSC, RscSpec(K=5, g_fb=0o23, g_fw=0o35),
+                 RscSpec(K=3, g_fb=0o7, g_fw=0o5)):
+        for L in (1, 2, 6, 7, 8, 40, 129):
+            bits = rng.integers(0, 2, (5, L), dtype=np.uint8)
+            want = rsc_encode_batch_np(spec, bits)
+            got = rsc_encode_batch(spec, bits)
+            for g, w in zip(got, want):
+                assert (np.asarray(g) == w).all(), (spec, L)
+
+
+def test_rsc_encode_batch_scan_fallback():
+    # g_fb without the D^S tap: impulse response has a transient, the
+    # prefix path must detect it and the scan fallback must still match.
+    spec = RscSpec(K=4, g_fb=0o16, g_fw=0o15)   # 0b1110: no D^3 tap
+    assert _rsc_impulse_period(spec) is None
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, (4, 50), dtype=np.uint8)
+    want = rsc_encode_batch_np(spec, bits)
+    got = rsc_encode_batch(spec, bits)
+    for g, w in zip(got, want):
+        assert (np.asarray(g) == w).all()
+
+
+def test_turbo_encode_batch_jit_vs_np():
+    rng = np.random.default_rng(14)
+    L = 64
+    pi = qpp_interleaver(L)
+    bits = rng.integers(0, 2, (7, L), dtype=np.uint8)
+    want = turbo_encode_batch_np(RSC, bits, pi)
+    got = turbo_encode_batch(RSC, bits, pi)
+    for k in want:
+        assert (np.asarray(got[k]) == want[k]).all(), k
 
 
 def test_rsc_tables_match_step():
