@@ -6,6 +6,9 @@ pass and the one-hot select-network traceback.
 """
 
 from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel
+from .turbo_pallas import (rsc_maxlogmap_batch_kernel,
+                           turbo_decode_batch_kernel,
+                           turbo_kernel_supported)
 from .acs_k2 import viterbi_decode_batch_k2
 from .tailbiting import (viterbi_decode_batch_tailbiting,
                          viterbi_decode_batch_tailbiting_bytes,
@@ -42,6 +45,9 @@ from .acs_pallas import (
 
 __all__ = [
     "maxlogmap_llrs_batch_kernel",
+    "rsc_maxlogmap_batch_kernel",
+    "turbo_decode_batch_kernel",
+    "turbo_kernel_supported",
     "viterbi_decode_batch",
     "viterbi_decode_batch_k2",
     "viterbi_decode_batch_tailbiting",

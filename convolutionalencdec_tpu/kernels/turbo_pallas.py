@@ -1,0 +1,357 @@
+"""Kernel-speed RSC max-log-MAP for turbo decoding (Pallas TPU).
+
+Kernel twin of `ops.turbo.rsc_maxlogmap`, batched over code blocks —
+the constituent decoder the iterative turbo exchange spends all its
+time in.  The reference discipline being matched is the repo's own
+`kernels/maxlogmap_pallas.py` (alpha-checkpoint BCJR for NS >= 64)
+re-derived for the tiny recursive 8-state trellis, where throughput
+comes from lane-batching blocks, not from intra-trellis width.
+
+Design (no C analogue to copy — the reference codebase is feed-forward
+Viterbi only, /root/reference/src/viterbiDecoder.c):
+
+* Layout: path metrics live as one (NS, 128) int32 tile per block-tile
+  — states on sublanes, 128 independent code blocks on lanes.  All
+  trellis math is vreg-at-a-time VPU work.
+
+* XOR-partner relabeling: in (state, feedback-bit w) coordinates the
+  RSC trellis IS a shift-register butterfly (next = (s >> 1) |
+  (w << (S-1))).  Keeping metrics in the rotating layout
+  position -> state = ror_{t mod S}(position), each trellis step's two
+  ACS sources sit at sublane p and p ^ (1 << (t mod S)) — a fixed
+  sublane swap — and results land back in-place.  No gathers, no
+  scatter: the whole forward/backward recursion is (swap, add, min)
+  on (NS, 128) tiles with per-stage 0/1 constant masks carrying the
+  (systematic u, parity z) edge labels.
+
+* Backward pass replays each chunk from its alpha checkpoint (the
+  sqrt-checkpoint trick), walks beta in reverse through the same swap
+  network, and emits per-bit LLRs as (min over u=1 edges) - (min over
+  u=0 edges); cross-sublane min reductions are deferred to one per
+  8-step group.  Renormalization offsets are common to both u-groups,
+  so emitted LLRs are bit-exact against `ops.turbo.rsc_maxlogmap`.
+
+* Termination: the S tail steps (channel LLRs on the transmitted tail
+  fields, no a-priori) are folded into the backward boundary OUTSIDE
+  the kernel — a 3-step jnp recurrence computes beta_L from the
+  state-0 anchor, pre-rotated into layout ror_{L mod S}.  The kernel
+  itself sees a uniform per-step program over exactly the L message
+  steps (padded to the chunk size with masked steps).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.turbo import RscSpec, rsc_tables
+
+#: Lanes (code blocks) per program.
+TB_TILE = 128
+
+#: Emit-group length: cross-sublane LLR reductions once per PACK steps.
+PACK_T = 8
+
+#: Exclusion constant.  Finite path-metric spreads stay < 2^20 under
+#: per-8-step renorm, and 3 * BIG_T fits int32 with headroom.
+BIG_T = 1 << 24
+
+
+def turbo_kernel_supported(rsc: RscSpec) -> bool:
+    """The tile layout wants the whole trellis inside one sublane group."""
+    return 2 <= rsc.num_states <= 8
+
+
+def _chunk_len(S: int) -> int:
+    """Steps per grid chunk: divisible by the stage cycle S and PACK_T."""
+    base = S * PACK_T // np.gcd(S, PACK_T)
+    tc = base
+    while tc < 24:
+        tc += base
+    return int(tc)
+
+
+def _parity(x: int) -> int:
+    return bin(x).count("1") & 1
+
+
+def _stages_in_kernel(rsc: RscSpec):
+    """Per-stage (NS, 1) int32 edge-label columns, derived INSIDE the
+    kernel from a broadcasted iota (Pallas kernels cannot capture
+    constant arrays; these are loop-invariant and CSE'd once).
+
+    For stage k (= t mod S), position q in layout ror_k holds state
+    s = ror_k(q); the step's feedback bit is w = bit_k(q); the ACS
+    partner is q ^ (1 << k).  Labels: u = w ^ parity(s & fb),
+    z = parity(((w << S) | s) & g_fw) — same trellis as `rsc_tables`
+    (encoder-derived, the framework's viterbiInit rule).
+    """
+    S, NS = rsc.S, rsc.num_states
+    fb = rsc.g_fb & (NS - 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (NS, 1), 0)
+
+    def parity_of(x, mask: int):
+        out = None
+        b = 0
+        while mask >> b:
+            if (mask >> b) & 1:
+                t = (x >> b) & 1
+                out = t if out is None else out ^ t
+            b += 1
+        return jnp.zeros_like(x) if out is None else out
+
+    def ror(x, k):
+        return ((x >> k) | (x << (S - k))) & (NS - 1) if k % S else x
+
+    def u_of(s, w):
+        return w ^ parity_of(s, fb)
+
+    def z_of(s, w):
+        return parity_of((w << S) | s, rsc.g_fw)
+
+    stages = []
+    for k in range(S):
+        X = 1 << k
+        w = (q >> k) & 1
+        s_s, s_o = ror(q, k), ror(q ^ X, k)
+        rows = {"us": u_of(s_s, w), "zs": z_of(s_s, w),
+                "uo": u_of(s_o, w), "zo": z_of(s_o, w),
+                "ub": u_of(s_s, 1 - w), "zb": z_of(s_s, 1 - w)}
+        # emit-group exclusion masks: +BIG where the branch's u != group
+        rows["m1s"] = (1 - rows["us"]) * BIG_T
+        rows["m0s"] = rows["us"] * BIG_T
+        rows["m1b"] = (1 - rows["ub"]) * BIG_T
+        rows["m0b"] = rows["ub"] * BIG_T
+        stages.append(rows)
+    return stages
+
+
+def _swap(a, k: int, NS: int):
+    """Exchange sublane p with p ^ (1 << k) via static slices."""
+    X = 1 << k
+    parts = []
+    for base in range(0, NS, 2 * X):
+        parts.append(a[base + X:base + 2 * X])
+        parts.append(a[base:base + X])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _fwd_chunk(rsc: RscSpec, stages, lu, lp, alpha, collect: bool):
+    """Forward ACS over one chunk.  Returns (alpha_out, alphas, selfs,
+    bms): per-step pre-step metrics, self-candidates (alpha + bm_self),
+    and self branch metrics — only populated when `collect`."""
+    S, NS = rsc.S, rsc.num_states
+    Tc = lu.shape[0]
+    alphas, selfs, bms = [], [], []
+    for t in range(Tc):
+        st = stages[t % S]
+        lu_r, lp_r = lu[t:t + 1, :], lp[t:t + 1, :]
+        bm_s = st["us"] * lu_r + st["zs"] * lp_r
+        bm_o = st["uo"] * lu_r + st["zo"] * lp_r
+        cs = alpha + bm_s
+        co = _swap(alpha, t % S, NS) + bm_o
+        if collect:
+            alphas.append(alpha)
+            selfs.append(cs)
+            bms.append(bm_s)
+        alpha = jnp.minimum(cs, co)
+        if t % PACK_T == PACK_T - 1:
+            alpha = alpha - jnp.min(alpha, axis=0, keepdims=True)
+    return alpha, alphas, selfs, bms
+
+
+def _turbo_fwd_kernel(rsc: RscSpec):
+    NS = rsc.num_states
+
+    def kernel(lu_ref, lp_ref, ckpt_ref, m_ref):
+        stages = _stages_in_kernel(rsc)
+        t_chunk = pl.program_id(1)
+
+        @pl.when(t_chunk == 0)
+        def _():
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (NS, TB_TILE), 0)
+            m_ref[:] = jnp.where(s_idx == 0, 0, BIG_T).astype(jnp.int32)
+
+        ckpt_ref[0] = m_ref[:]
+        m, _, _, _ = _fwd_chunk(rsc, stages, lu_ref[:].astype(jnp.int32),
+                                lp_ref[:].astype(jnp.int32), m_ref[:],
+                                collect=False)
+        m_ref[:] = m
+
+    return kernel
+
+
+def _turbo_bwd_kernel(rsc: RscSpec, nt: int, Tc: int, L: int):
+    S, NS = rsc.S, rsc.num_states
+
+    def kernel(lu_ref, lp_ref, ckpt_ref, binit_ref, llr_ref, b_ref):
+        stages = _stages_in_kernel(rsc)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            b_ref[:] = binit_ref[:]
+
+        base = (nt - 1 - i) * Tc
+        lu = lu_ref[:].astype(jnp.int32)
+        lp = lp_ref[:].astype(jnp.int32)
+        _, alphas, selfs, bms = _fwd_chunk(rsc, stages, lu, lp,
+                                           ckpt_ref[0], collect=True)
+        beta = b_ref[:]
+        p1, p0 = {}, {}
+        for t in range(Tc - 1, -1, -1):
+            st = stages[t % S]
+            valid = base + t < L
+            bm_b = st["ub"] * lu[t:t + 1, :] + st["zb"] * lp[t:t + 1, :]
+            sbeta = _swap(beta, t % S, NS)
+            nb0 = bms[t] + beta
+            nb1 = bm_b + sbeta
+            # emit partials for step t: alpha_t + bm + beta_{t+1}
+            v0 = selfs[t] + beta
+            v1 = alphas[t] + nb1
+            p1[t] = jnp.minimum(v0 + st["m1s"], v1 + st["m1b"])
+            p0[t] = jnp.minimum(v0 + st["m0s"], v1 + st["m0b"])
+            # backward merge (frozen on padded steps past L)
+            nbeta = jnp.minimum(nb0, nb1)
+            beta = jnp.where(valid, nbeta, beta)
+            if t % PACK_T == 0:
+                beta = beta - jnp.min(beta, axis=0, keepdims=True)
+                g1 = jnp.stack([p1[t + j] for j in range(PACK_T)], axis=0)
+                g0 = jnp.stack([p0[t + j] for j in range(PACK_T)], axis=0)
+                lam = jnp.min(g1, axis=1) - jnp.min(g0, axis=1)
+                llr_ref[t:t + PACK_T, :] = lam
+        b_ref[:] = beta
+
+    return kernel
+
+
+def _beta_tail(rsc: RscSpec, l_sys_tail, l_par_tail, L: int):
+    """beta at step L (natural order -> kernel layout ror_{L mod S}).
+
+    Walks the S termination steps backward from the state-0 anchor with
+    channel-only branch metrics, exactly `rsc_maxlogmap`'s tail scan.
+    """
+    S, NS = rsc.S, rsc.num_states
+    nxt, par, _, _ = rsc_tables(rsc)
+    nxt_j = jnp.asarray(nxt)                     # [2, NS]
+    par_j = jnp.asarray(par)
+    lt = jnp.asarray(l_sys_tail, jnp.int32)      # [B, S]
+    pt = jnp.asarray(l_par_tail, jnp.int32)
+    B = lt.shape[0]
+    b = jnp.full((B, NS), BIG_T, jnp.int32).at[:, 0].set(0)
+    for t in range(S - 1, -1, -1):
+        # bm[u, s] = u * l_sys_tail[t] + par[u, s] * l_par_tail[t]
+        u = jnp.arange(2, dtype=jnp.int32)[None, :, None]
+        bm = u * lt[:, t, None, None] + par_j[None] * pt[:, t, None, None]
+        cand = bm + b[:, nxt_j.reshape(-1)].reshape(B, 2, NS)
+        b = jnp.min(cand, axis=1)
+    k = L % S
+    if k:
+        rot = np.array([((q >> k) | (q << (S - k))) & (NS - 1)
+                        for q in range(NS)])
+        b = b[:, rot]
+    return b
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def rsc_maxlogmap_batch_kernel(rsc: RscSpec, l_sys, l_par, l_apriori,
+                               l_sys_tail, l_par_tail,
+                               interpret: bool = False):
+    """Batched a-posteriori LLRs of RSC blocks via the Pallas kernels.
+
+    Args: [B, L] int32 LLR arrays (positive favors 0) and [B, S] tail
+    fields.  Returns int32 [B, L], bit-exact against
+    `jax.vmap(ops.turbo.rsc_maxlogmap)`.
+    """
+    if not turbo_kernel_supported(rsc):
+        raise ValueError("turbo kernels support NS <= 8 (one sublane "
+                         "group); use ops.turbo.rsc_maxlogmap")
+    NS = rsc.num_states
+    Tc = _chunk_len(rsc.S)
+    lu = jnp.asarray(l_sys, jnp.int32) + jnp.asarray(l_apriori, jnp.int32)
+    lp = jnp.asarray(l_par, jnp.int32)
+    B, L = lu.shape
+    Bp = -(-B // TB_TILE) * TB_TILE
+    Tp = -(-L // Tc) * Tc
+    lu_t = jnp.pad(lu, ((0, Bp - B), (0, Tp - L))).T      # (Tp, Bp)
+    lp_t = jnp.pad(lp, ((0, Bp - B), (0, Tp - L))).T
+    nb, nt = Bp // TB_TILE, Tp // Tc
+    ckpts = pl.pallas_call(
+        _turbo_fwd_kernel(rsc),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec((Tc, TB_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Tc, TB_TILE), lambda b, t: (t, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, NS, TB_TILE), lambda b, t: (t, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, NS, Bp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, TB_TILE), jnp.int32)],
+        interpret=interpret,
+    )(lu_t, lp_t)
+
+    binit = jnp.pad(_beta_tail(rsc, l_sys_tail, l_par_tail, L),
+                    ((0, Bp - B), (0, 0))).T              # (NS, Bp)
+
+    llrs = pl.pallas_call(
+        _turbo_bwd_kernel(rsc, nt, Tc, L),
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec((Tc, TB_TILE),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Tc, TB_TILE),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, NS, TB_TILE),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, 0, b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((NS, TB_TILE), lambda b, t: (0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Tc, TB_TILE),
+                               lambda b, t, n_t=nt: (n_t - 1 - t, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, Bp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((NS, TB_TILE), jnp.int32)],
+        interpret=interpret,
+    )(lu_t, lp_t, ckpts, binit)
+    return llrs[:L, :B].T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
+def turbo_decode_batch_kernel(rsc: RscSpec, l_sys, l_par1, l_par2,
+                              l_sys_tail1, l_par_tail1,
+                              l_sys_tail2, l_par_tail2,
+                              perm: tuple, n_iters: int = 6,
+                              interpret: bool = False):
+    """Kernel-speed batched turbo decode, bit-exact vs
+    `ops.turbo.turbo_decode_batch` (same exchange schedule, same 3/4
+    extrinsic scaling, constituent MAPs through the Pallas kernels).
+
+    Args: [B, L] channel LLR arrays, [B, S] tail fields, `perm` the
+    interleaver as a static tuple.  Returns (uint8 [B, L] bits,
+    int32 [B, L] a-posteriori LLRs).
+    """
+    pi_np = np.asarray(perm, np.int32)
+    inv_np = np.empty_like(pi_np)
+    inv_np[pi_np] = np.arange(pi_np.size, dtype=np.int32)
+    pi, inv = jnp.asarray(pi_np), jnp.asarray(inv_np)
+    l_sys = jnp.asarray(l_sys, jnp.int32)
+    B, L = l_sys.shape
+    la1 = jnp.zeros((B, L), jnp.int32)
+    l_sys_i = jnp.take(l_sys, pi, axis=1)
+    lapp2 = jnp.zeros((B, L), jnp.int32)
+    for _ in range(n_iters):
+        lapp1 = rsc_maxlogmap_batch_kernel(
+            rsc, l_sys, l_par1, la1, l_sys_tail1, l_par_tail1, interpret)
+        le1 = lapp1 - l_sys - la1
+        la2 = (3 * jnp.take(le1, pi, axis=1)) // 4
+        lapp2 = rsc_maxlogmap_batch_kernel(
+            rsc, l_sys_i, l_par2, la2, l_sys_tail2, l_par_tail2, interpret)
+        le2 = lapp2 - l_sys_i - la2
+        la1 = jnp.take((3 * le2) // 4, inv, axis=1)
+    lapp = jnp.take(lapp2, inv, axis=1)
+    return (lapp < 0).astype(jnp.uint8), lapp

@@ -303,6 +303,117 @@ def desegment_tb(blocks, F: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# §5.1 batched DL-SCH transport-block chain: every same-shaped code
+# block of a TB encodes/decodes in ONE dispatch (the blocks of one TB
+# are equal-sized in the common case — at most two sizes ever exist).
+
+def dlsch_block_sizes(A: int) -> tuple[list[int], int]:
+    """Per-code-block sizes (transmission order) and filler count F for
+    an A-bit payload (CRC24A appended before segmentation)."""
+    B = A + 24
+    C, Kp, Km, Cp, Cm = segment_sizes(B)
+    F = Cm * Km + Cp * Kp - (B + (24 * C if C > 1 else 0))
+    return [Km] * Cm + [Kp] * Cp, F
+
+
+def dlsch_rate_match_sizes(G: int, C: int, n_l: int = 1,
+                           qm: int = 2) -> list[int]:
+    """E per code block for G total channel bits (36.212 §5.1.4.1.2)."""
+    unit = n_l * qm
+    if G % unit:
+        raise ValueError("G must be a multiple of N_L * Q_m")
+    Gp = G // unit
+    gamma = Gp % C
+    return [unit * (Gp // C) if k <= C - gamma - 1 else unit * (-(-Gp // C))
+            for k in range(C)]
+
+
+def _dlsch_groups(sizes: list[int], Es: list[int], F: int):
+    """Group block indices by identical (L, E, F) — one dispatch each."""
+    groups: dict = {}
+    for c, (L, E) in enumerate(zip(sizes, Es)):
+        groups.setdefault((L, E, F if c == 0 else 0), []).append(c)
+    return groups
+
+
+def lte_dlsch_encode(payload, G: int, rv: int = 0, n_l: int = 1,
+                     qm: int = 2, rsc: RscSpec = RscSpec()):
+    """Full §5.1 transmit chain for one transport block.
+
+    payload [A] -> CRC24A -> segmentation (CRC24B per block when C > 1,
+    fillers) -> batched turbo encode + rate matching (one
+    `lte_turbo_encode_batch` dispatch per distinct block shape) ->
+    §5.1.5 concatenation.  Returns uint8 [G] channel bits.
+    """
+    from .crc import CRC24A, crc_append
+    payload = np.asarray(payload, np.uint8)
+    bits = np.asarray(crc_append(CRC24A, payload), np.uint8)
+    blocks, F = segment_tb(bits)
+    C = len(blocks)
+    sizes = [b.size for b in blocks]
+    Es = dlsch_rate_match_sizes(G, C, n_l, qm)
+    outs: list = [None] * C
+    for (L, E, Fk), idxs in _dlsch_groups(sizes, Es, F).items():
+        batch = jnp.asarray(np.stack([blocks[i] for i in idxs]))
+        tx = lte_turbo_encode_batch(batch, E, rv=rv, rsc=rsc, F=Fk)
+        for j, i in enumerate(idxs):
+            outs[i] = tx[j]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def lte_dlsch_decode(llrs, A: int, rv: int = 0, n_iters: int = 6,
+                     n_l: int = 1, qm: int = 2, rsc: RscSpec = RscSpec(),
+                     qmax: int | None = 31, use_kernel: bool = False,
+                     interpret: bool = False):
+    """Receive chain for one transport block (or a [Bt, G] batch).
+
+    Splits the G LLRs per §5.1.5/§5.1.4.1.2, decodes every same-shaped
+    code block in one batched `lte_turbo_decode` dispatch, checks the
+    per-block CRC24B (C > 1), reassembles, and checks/strips CRC24A.
+
+    Returns (payload [..., A] uint8, tb_ok bool [...], block_ok
+    [..., C] bool).  `tb_ok` is the transport-block CRC24A verdict
+    AND'd with every per-block CRC24B.
+    """
+    from .crc import CRC24A, CRC24B, crc_check
+    llrs = jnp.asarray(llrs, jnp.int32)
+    squeeze = llrs.ndim == 1
+    if squeeze:
+        llrs = llrs[None]
+    lead = llrs.shape[:-1]
+    G = llrs.shape[-1]
+    sizes, F = dlsch_block_sizes(A)
+    C = len(sizes)
+    Es = dlsch_rate_match_sizes(G, C, n_l, qm)
+    offs = np.concatenate([[0], np.cumsum(Es)])
+    dec_blocks: list = [None] * C
+    for (L, E, Fk), idxs in _dlsch_groups(sizes, Es, F).items():
+        chunk = jnp.stack([llrs[..., offs[i]:offs[i] + E] for i in idxs],
+                          axis=-2)                       # [..., n, E]
+        flat = chunk.reshape((-1, E))
+        bits, _ = lte_turbo_decode(flat, L, rv=rv, n_iters=n_iters,
+                                   rsc=rsc, qmax=qmax, F=Fk,
+                                   use_kernel=use_kernel,
+                                   interpret=interpret)
+        bits = bits.reshape(lead + (len(idxs), L))
+        for j, i in enumerate(idxs):
+            dec_blocks[i] = bits[..., j, :]
+    if C > 1:
+        block_ok = jnp.stack([crc_check(CRC24B, b) for b in dec_blocks],
+                             axis=-1)
+        dec_blocks = [b[..., :-24] for b in dec_blocks]  # strip CRC24B
+    else:
+        block_ok = jnp.ones(lead + (1,), bool)
+    dec_blocks[0] = dec_blocks[0][..., F:]               # strip fillers
+    tb = jnp.concatenate(dec_blocks, axis=-1)            # [..., A + 24]
+    tb_ok = crc_check(CRC24A, tb) & jnp.all(block_ok, axis=-1)
+    payload = tb[..., :A]
+    if squeeze:
+        payload, tb_ok, block_ok = payload[0], tb_ok[0], block_ok[0]
+    return payload, tb_ok, block_ok
+
+
+# ---------------------------------------------------------------------------
 # One-call transport-channel chain (single code block, the common case).
 
 def lte_turbo_encode(bits: np.ndarray, E: int, rv: int = 0,
@@ -340,12 +451,17 @@ def lte_turbo_encode_batch(bits, E: int, rv: int = 0,
 
 def lte_turbo_decode(llrs, L: int, rv: int = 0, n_iters: int = 6,
                      rsc: RscSpec = RscSpec(), Ncb: int | None = None,
-                     qmax: int | None = 31, F: int = 0):
+                     qmax: int | None = 31, F: int = 0,
+                     use_kernel: bool = False, interpret: bool = False):
     """Decode E received LLRs (positive favors 0) back to L bits.
 
     One jitted program: scatter-add de-rate-matching (chase combining),
     tail demultiplex, iterative max-log-MAP.  Batched when `llrs` has a
     leading batch axis.  Returns (bits [..., L], a-posteriori LLRs).
+
+    `use_kernel=True` routes the batched constituent MAPs through the
+    Pallas kernels (`kernels.turbo_pallas`, bit-exact vs the scan) —
+    the TPU production path.
     """
     filler = 0 if qmax is None else qmax
     d = derate_match_turbo(llrs, L + 4, rv, Ncb, F=F, qmax=qmax,
@@ -354,4 +470,9 @@ def lte_turbo_decode(llrs, L: int, rv: int = 0, n_iters: int = 6,
     perm = lte_qpp(L)
     if np.asarray(llrs).ndim == 1:
         return turbo_mod.turbo_decode(rsc, *fields, tuple(perm), n_iters)
+    if use_kernel:
+        from ..kernels.turbo_pallas import turbo_decode_batch_kernel
+        return turbo_decode_batch_kernel(
+            rsc, *fields, perm=tuple(int(p) for p in perm),
+            n_iters=n_iters, interpret=interpret)
     return turbo_mod.turbo_decode_batch(rsc, *fields, perm, n_iters)

@@ -183,6 +183,51 @@ def test_filler_bits_are_nulls_in_ratematch():
     assert (rx[0, :F] == 99).all() and (rx[1, :F] == 99).all()
 
 
+def test_dlsch_batched_runner_vs_block_loop():
+    """One-call batched TB chain == the per-block Python loop, and the
+    §5.1.4.1.2 E split covers G exactly."""
+    rng = np.random.default_rng(22)
+    A = 7000                       # C=2, equal-ish sizes, F > 0
+    G = 3 * 7500 * 2
+    payload = rng.integers(0, 2, A, dtype=np.uint8)
+    tx = np.asarray(lte.lte_dlsch_encode(payload, G))
+    assert tx.shape == (G,)
+    # manual loop through the single-block primitives
+    from convolutionalencdec_tpu.ops.crc import CRC24A, crc_append
+    bits = np.asarray(crc_append(CRC24A, payload), np.uint8)
+    blocks, F = lte.segment_tb(bits)
+    Es = lte.dlsch_rate_match_sizes(G, len(blocks))
+    assert sum(Es) == G
+    manual = np.concatenate([
+        lte.lte_turbo_encode(b, E, F=(F if c == 0 else 0))
+        for c, (b, E) in enumerate(zip(blocks, Es))])
+    np.testing.assert_array_equal(tx, manual)
+    # decode: noiseless strong LLRs round-trip, CRCs pass
+    dec, tb_ok, blk_ok = lte.lte_dlsch_decode(_llr(tx, 8), A, n_iters=3)
+    assert bool(tb_ok) and bool(np.asarray(blk_ok).all())
+    np.testing.assert_array_equal(np.asarray(dec), payload)
+    # garbaging one block must flip that block's CRC and tb_ok
+    bad = _llr(tx, 8).copy()
+    bad[:Es[0]] = rng.integers(-8, 9, Es[0])
+    _, tb_ok2, blk_ok2 = lte.lte_dlsch_decode(bad, A, n_iters=2)
+    assert not bool(tb_ok2)
+    assert not bool(np.asarray(blk_ok2)[0])
+    assert bool(np.asarray(blk_ok2)[1])      # other block unaffected
+
+
+def test_dlsch_batched_tb_axis():
+    """A [Bt, G] batch of transport blocks decodes in the same grouped
+    dispatches."""
+    rng = np.random.default_rng(23)
+    A, G = 2048, 3 * 2100
+    payloads = rng.integers(0, 2, (3, A), dtype=np.uint8)
+    txs = np.stack([np.asarray(lte.lte_dlsch_encode(p, G))
+                    for p in payloads])
+    dec, tb_ok, _ = lte.lte_dlsch_decode(_llr(txs, 6), A, n_iters=3)
+    assert np.asarray(tb_ok).all()
+    np.testing.assert_array_equal(np.asarray(dec), payloads)
+
+
 def test_segmented_tb_e2e():
     """Full DL-SCH-style chain: segment -> encode -> decode -> reassemble."""
     rng = np.random.default_rng(6)

@@ -1,0 +1,85 @@
+"""Turbo Pallas kernels (kernels/turbo_pallas.py) vs the scan decoders:
+bit-exact constituent MAP LLRs and bit-exact full iterative decode,
+interpreted on CPU (the real-TPU twin runs in scripts/tpu_sweep.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from convolutionalencdec_tpu.ops import lte
+from convolutionalencdec_tpu.ops.turbo import (
+    RscSpec, rsc_maxlogmap, turbo_decode_batch, turbo_encode_batch)
+from convolutionalencdec_tpu.kernels.turbo_pallas import (
+    rsc_maxlogmap_batch_kernel, turbo_decode_batch_kernel,
+    turbo_kernel_supported)
+
+RSC = RscSpec()
+
+
+def _rand_llrs(rng, B, L, S, mag=31):
+    return (rng.integers(-mag, mag + 1, (B, L)).astype(np.int32),
+            rng.integers(-mag, mag + 1, (B, L)).astype(np.int32),
+            rng.integers(-mag, mag + 1, (B, L)).astype(np.int32),
+            rng.integers(-mag, mag + 1, (B, S)).astype(np.int32),
+            rng.integers(-mag, mag + 1, (B, S)).astype(np.int32))
+
+
+@pytest.mark.parametrize("L", [6, 24, 40, 100])
+def test_rsc_map_kernel_bitexact_vs_scan(L):
+    rng = np.random.default_rng(L)
+    B = 5
+    l_sys, l_par, l_apr, l_st, l_pt = _rand_llrs(rng, B, L, RSC.S)
+    want = jax.vmap(lambda a, b, c, d, e: rsc_maxlogmap(
+        RSC, a, b, c, d, e))(l_sys, l_par, l_apr, l_st, l_pt)
+    got = rsc_maxlogmap_batch_kernel(RSC, l_sys, l_par, l_apr,
+                                     l_st, l_pt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rsc_map_kernel_large_apriori_magnitudes():
+    # iterated extrinsics grow well past the channel scale
+    rng = np.random.default_rng(99)
+    B, L = 3, 52
+    l_sys, l_par, l_apr, l_st, l_pt = _rand_llrs(rng, B, L, RSC.S)
+    l_apr = rng.integers(-4000, 4001, (B, L)).astype(np.int32)
+    want = jax.vmap(lambda a, b, c, d, e: rsc_maxlogmap(
+        RSC, a, b, c, d, e))(l_sys, l_par, l_apr, l_st, l_pt)
+    got = rsc_maxlogmap_batch_kernel(RSC, l_sys, l_par, l_apr,
+                                     l_st, l_pt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_turbo_decode_kernel_bitexact_vs_scan():
+    rng = np.random.default_rng(7)
+    B, L = 4, 40
+    pi = lte.lte_qpp(L)
+    bits = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    enc = {k: np.asarray(v)
+           for k, v in turbo_encode_batch(RSC, bits, pi).items()}
+
+    def llr(b01):
+        x = (1 - 2 * b01.astype(np.int32)) * 4
+        flip = rng.random(b01.shape) < 0.06
+        return np.where(flip, -x, x).astype(np.int32)
+
+    args = [llr(enc["sys"]), llr(enc["par1"]), llr(enc["par2"]),
+            llr(enc["sys_tail1"]), llr(enc["par_tail1"]),
+            llr(enc["sys_tail2"]), llr(enc["par_tail2"])]
+    wb, wl = turbo_decode_batch(RSC, *args, perm=pi, n_iters=3)
+    gb, gl = turbo_decode_batch_kernel(RSC, *args,
+                                       perm=tuple(int(p) for p in pi),
+                                       n_iters=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(wb))
+    assert (np.asarray(gb) == bits).all()   # clean-ish channel decodes
+
+
+def test_turbo_kernel_supported_gate():
+    assert turbo_kernel_supported(RSC)
+    assert not turbo_kernel_supported(RscSpec(K=5, g_fb=0o23, g_fw=0o35))
+    with pytest.raises(ValueError):
+        rsc_maxlogmap_batch_kernel(
+            RscSpec(K=5, g_fb=0o23, g_fw=0o35),
+            np.zeros((1, 8), np.int32), np.zeros((1, 8), np.int32),
+            np.zeros((1, 8), np.int32), np.zeros((1, 4), np.int32),
+            np.zeros((1, 4), np.int32), True)
