@@ -50,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.turbo import RscSpec, rsc_tables
 
-#: Lanes (code blocks) per program.
-TB_TILE = 128
+#: Lanes (code blocks) per program (2 lane tiles — measured ~10% faster
+#: than 128 on chip; 512 adds nothing).
+TB_TILE = 256
 
 #: Emit-group length: cross-sublane LLR reductions once per PACK steps.
 PACK_T = 8
