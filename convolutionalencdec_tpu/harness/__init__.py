@@ -8,7 +8,8 @@ from .ber import (
     ber_sweep,
     run_reference_ber_test,
 )
-from .curve import run_bler_curve_tbcc, run_curve
+from .curve import (run_bler_curve_tbcc, run_bler_curve_turbo, run_curve,
+                    run_harq_ir_turbo)
 
 __all__ = [
     "BER_EXPECTED_K7",
@@ -16,5 +17,7 @@ __all__ = [
     "ber_sweep",
     "run_reference_ber_test",
     "run_bler_curve_tbcc",
+    "run_bler_curve_turbo",
     "run_curve",
+    "run_harq_ir_turbo",
 ]

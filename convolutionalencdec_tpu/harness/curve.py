@@ -187,10 +187,198 @@ def run_bler_curve_tbcc(spec: CodeSpec = None, crc=None, ebn0_points=None,
     return results
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 6, 7))
+def _turbo_bler_batch(key, n_blocks: int, L: int, E: int, n_iters: int,
+                      ebn0_db, use_kernel: bool = False,
+                      interpret: bool = False):
+    """One turbo batch over AWGN/BPSK.
+
+    Returns (bit_errors, block_errors, false_accepts, crc_rejects, n).
+    Eb/N0 is per message bit at code rate L/E (CRC24B counted as
+    payload, matching the harness' stated convention).
+    """
+    from ..ops import lte
+    from ..ops.crc import CRC24B, crc_append, crc_check
+    kmsg, kchan = jax.random.split(key)
+    rate = L / E
+    payload = jax.random.bernoulli(
+        kmsg, 0.5, (n_blocks, L - 24)).astype(jnp.uint8)
+    msgs = crc_append(CRC24B, payload)
+    tx = lte.lte_turbo_encode_batch(msgs, E)
+    rx = awgn(kchan, bpsk_modulate(tx), ebn0_db, rate)
+    q = quantize_llrs(bpsk_llr(rx, ebn0_db, rate), qmax=31).astype(jnp.int32)
+    dec, _ = lte.lte_turbo_decode(q, L, n_iters=n_iters,
+                                  use_kernel=use_kernel,
+                                  interpret=interpret)
+    errs = dec != msgs
+    blk = jnp.any(errs, axis=1)
+    ok = crc_check(CRC24B, dec)
+    return (jnp.sum(errs), jnp.sum(blk), jnp.sum(ok & blk),
+            jnp.sum(~ok & ~blk), n_blocks)
+
+
+def run_bler_curve_turbo(ebn0_points=None, *, L: int = 6144,
+                         E: int | None = None, n_blocks: int = 2048,
+                         batch: int = 256, n_iters: int = 6,
+                         seed: int = 11, use_kernel: bool | None = None,
+                         interpret: bool = False, verbose: bool = True):
+    """Measured BER/BLER curve for the LTE turbo chain over AWGN/BPSK
+    (the `run_bler_curve_tbcc` analogue for the turbo code): CRC24B
+    payloads, full 36.212 encode/rate-match/decode, CRC false-accept
+    counting.  Defaults to the rate-1/3 L=6144 mother code.
+
+    Returns a list of dicts, one per Eb/N0 point.
+    """
+    from ..ops.turbo import RscSpec
+    from ..kernels.turbo_pallas import turbo_kernel_supported
+    if E is None:
+        E = 3 * (L + 4)
+    if ebn0_points is None:
+        ebn0_points = [0.0, 0.4, 0.8, 1.2]
+    if use_kernel is None:
+        use_kernel = (jax.default_backend() == "tpu"
+                      and turbo_kernel_supported(RscSpec()))
+    results = []
+    for ebn0 in ebn0_points:
+        key = jax.random.PRNGKey(seed)
+        be = blk = fa = rej = total = 0
+        done = 0
+        while done < n_blocks:
+            nb = min(batch, n_blocks - done)
+            key, sub = jax.random.split(key)
+            b, k_, f, r, n_ = _turbo_bler_batch(
+                sub, nb, L, E, n_iters, ebn0, use_kernel, interpret)
+            be += int(b); blk += int(k_); fa += int(f); rej += int(r)
+            total += int(n_)
+            done += nb
+        point = {
+            "ebn0_db": ebn0,
+            "ber": be / (total * L),
+            "bler": blk / total,
+            "false_accept": fa / total,
+            "crc_reject_good": rej / total,
+            "blocks": total,
+        }
+        results.append(point)
+        if verbose:
+            print(json.dumps(point), flush=True)
+    return results
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 7, 8))
+def _harq_batch(key, n_blocks: int, L: int, E: int, rv_seq: tuple,
+                n_iters: int, ebn0_db, use_kernel: bool = False,
+                interpret: bool = False):
+    """One HARQ batch: per transmission count, block errors for
+    incremental redundancy (rv sequence) vs chase (rv 0 repeated).
+
+    Returns (ir_blk [T], chase_blk [T], n).  Eb/N0 is per message bit
+    PER TRANSMISSION (each retransmission adds energy — the HARQ
+    working regime), rate L/E.
+    """
+    from ..ops import lte
+    from ..ops.crc import CRC24B, crc_append
+    from ..ops.turbo import RscSpec
+    rsc = RscSpec()
+    keys = jax.random.split(key, 2 * len(rv_seq) + 1)
+    rate = L / E
+    payload = jax.random.bernoulli(
+        keys[0], 0.5, (n_blocks, L - 24)).astype(jnp.uint8)
+    msgs = crc_append(CRC24B, payload)
+    pi = tuple(int(p) for p in lte.lte_qpp(L))
+
+    def decode(buf):
+        fields = lte.turbo_demux_tails(jnp.clip(buf, -255, 255))
+        if use_kernel:
+            from ..kernels.turbo_pallas import turbo_decode_batch_kernel
+            bits, _ = turbo_decode_batch_kernel(
+                rsc, *fields, perm=pi, n_iters=n_iters,
+                interpret=interpret)
+        else:
+            from ..ops.turbo import turbo_decode_batch
+            bits, _ = turbo_decode_batch(rsc, *fields, perm=np.asarray(pi),
+                                         n_iters=n_iters)
+        return jnp.sum(jnp.any(bits != msgs, axis=1))
+
+    ir = jnp.zeros((n_blocks, 3, L + 4), jnp.int32)
+    ch = jnp.zeros((n_blocks, 3, L + 4), jnp.int32)
+    ir_blk, ch_blk = [], []
+    for t, rv in enumerate(rv_seq):
+        for mode, rv_t in (("ir", rv), ("ch", rv_seq[0])):
+            tx = lte.lte_turbo_encode_batch(msgs, E, rv=rv_t)
+            kch = keys[1 + 2 * t + (mode == "ch")]
+            rx = awgn(kch, bpsk_modulate(tx), ebn0_db, rate)
+            q = quantize_llrs(bpsk_llr(rx, ebn0_db, rate),
+                              qmax=31).astype(jnp.int32)
+            add = lte.derate_match_turbo(q, L + 4, rv=rv_t)
+            if mode == "ir":
+                ir = ir + add
+            else:
+                ch = ch + add
+        ir_blk.append(decode(ir))
+        ch_blk.append(decode(ch))
+    return jnp.stack(ir_blk), jnp.stack(ch_blk), n_blocks
+
+
+def run_harq_ir_turbo(*, L: int = 1024, E: int | None = None,
+                      ebn0_db: float = -4.5, rv_seq=(0, 2, 3, 1),
+                      n_blocks: int = 1024, batch: int = 256,
+                      n_iters: int = 6, seed: int = 13,
+                      use_kernel: bool | None = None,
+                      interpret: bool = False, verbose: bool = True):
+    """Measured HARQ evidence: BLER vs transmission count for 36.212
+    incremental redundancy (redundancy versions `rv_seq` accumulated
+    through `derate_match_turbo`) against chase combining (rv 0
+    repeated) at the same per-transmission Eb/N0.  Each transmission
+    carries E bits (default: heavily punctured, rate ~L/E per tx), so
+    later rv rounds reveal fresh parity — the IR gain.
+
+    Returns a list of dicts, one per transmission count.
+    """
+    from ..ops.turbo import RscSpec
+    from ..kernels.turbo_pallas import turbo_kernel_supported
+    if E is None:
+        E = int(1.25 * L)
+    if use_kernel is None:
+        use_kernel = (jax.default_backend() == "tpu"
+                      and turbo_kernel_supported(RscSpec()))
+    ir = np.zeros(len(rv_seq), np.int64)
+    ch = np.zeros(len(rv_seq), np.int64)
+    total = 0
+    key = jax.random.PRNGKey(seed)
+    done = 0
+    while done < n_blocks:
+        nb = min(batch, n_blocks - done)
+        key, sub = jax.random.split(key)
+        i_, c_, n_ = _harq_batch(sub, nb, L, E, tuple(rv_seq), n_iters,
+                                 ebn0_db, use_kernel, interpret)
+        ir += np.asarray(i_); ch += np.asarray(c_); total += int(n_)
+        done += nb
+    results = []
+    for t in range(len(rv_seq)):
+        point = {
+            "tx_count": t + 1,
+            "rv": list(rv_seq[:t + 1]),
+            "ir_bler": float(ir[t] / total),
+            "chase_bler": float(ch[t] / total),
+            "ebn0_db_per_tx": ebn0_db,
+            "blocks": total,
+        }
+        results.append(point)
+        if verbose:
+            print(json.dumps(point), flush=True)
+    return results
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--tbcc":
         run_bler_curve_tbcc(
             ebn0_points=[float(a) for a in sys.argv[2:]] or None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--turbo":
+        run_bler_curve_turbo(
+            ebn0_points=[float(a) for a in sys.argv[2:]] or None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--harq":
+        run_harq_ir_turbo()
     else:
         pts = [float(a) for a in sys.argv[1:]] or None
         run_curve(ebn0_points=pts)

@@ -468,7 +468,7 @@ def lte_turbo_decode(llrs, L: int, rv: int = 0, n_iters: int = 6,
                            filler_llr=filler)
     fields = turbo_demux_tails(d)
     perm = lte_qpp(L)
-    if np.asarray(llrs).ndim == 1:
+    if jnp.ndim(llrs) == 1:
         return turbo_mod.turbo_decode(rsc, *fields, tuple(perm), n_iters)
     if use_kernel:
         from ..kernels.turbo_pallas import turbo_decode_batch_kernel
