@@ -90,3 +90,112 @@ def oracle_decode(spec: CodeSpec, segments) -> np.ndarray:
         segments.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     assert nb == L
     return out
+
+
+# ---------------------------------------------------------------------------
+# Turbo (PCCC) oracle — independent C++ implementation of the chain in
+# ops/turbo.py, used to pin the statistical acceptance constants
+# (tests/test_turbo_oracle.py, scripts/tpu_sweep.py) the way MATLAB
+# pinned berTestK7's (SURVEY.md §4 item 4).
+
+_TSRC = os.path.join(_HERE, "turbo_oracle.cpp")
+_TSO = os.path.join(_HERE, "libturbo_oracle.so")
+_tlib = None
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def get_turbo_lib() -> ctypes.CDLL:
+    """Load (building if needed) the turbo oracle shared library."""
+    global _tlib
+    with _lock:
+        if _tlib is not None:
+            return _tlib
+        if (not os.path.exists(_TSO)
+                or os.path.getmtime(_TSO) < os.path.getmtime(_TSRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                 _TSRC, "-o", _TSO],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_TSO)
+        lib.turbo_oracle_encode.restype = None
+        lib.turbo_oracle_encode.argtypes = [
+            ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+            _u8p, ctypes.c_int, _i32p, _u8p, _u8p, _u8p, _u8p]
+        lib.turbo_oracle_decode.restype = None
+        lib.turbo_oracle_decode.argtypes = [
+            ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, ctypes.c_int, _u8p]
+        lib.turbo_oracle_ber_point.restype = None
+        lib.turbo_oracle_ber_point.argtypes = [
+            ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+            _i32p, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64, _i64p,
+            ctypes.POINTER(ctypes.c_int32)]
+        _tlib = lib
+        return lib
+
+
+def _c32(a):
+    a = np.ascontiguousarray(np.asarray(a, np.int32))
+    return a, a.ctypes.data_as(_i32p)
+
+
+def turbo_oracle_encode(rsc, bits, perm):
+    """Oracle turbo encode of one block.  Returns the same stream dict
+    as ops.turbo.turbo_encode_np."""
+    lib = get_turbo_lib()
+    bits = np.ascontiguousarray(np.asarray(bits, np.uint8))
+    L, S = bits.size, rsc.S
+    perm, pp = _c32(perm)
+    par1 = np.zeros(L, np.uint8)
+    par2 = np.zeros(L, np.uint8)
+    t1 = np.zeros(2 * S, np.uint8)
+    t2 = np.zeros(2 * S, np.uint8)
+    lib.turbo_oracle_encode(
+        rsc.K, rsc.g_fb, rsc.g_fw,
+        bits.ctypes.data_as(_u8p), L, pp,
+        par1.ctypes.data_as(_u8p), par2.ctypes.data_as(_u8p),
+        t1.ctypes.data_as(_u8p), t2.ctypes.data_as(_u8p))
+    return {"sys": bits, "par1": par1, "par2": par2,
+            "sys_tail1": t1[0::2], "par_tail1": t1[1::2],
+            "sys_tail2": t2[0::2], "par_tail2": t2[1::2]}
+
+
+def turbo_oracle_decode(rsc, l_sys, l_par1, l_par2, l_sys_tail1,
+                        l_par_tail1, l_sys_tail2, l_par_tail2, perm,
+                        n_iters: int = 6):
+    """Oracle iterative max-log-MAP decode of one block -> uint8 bits."""
+    lib = get_turbo_lib()
+    perm, pp = _c32(perm)
+    L, S = len(perm), rsc.S
+    ls, lsp = _c32(l_sys)
+    p1, p1p = _c32(l_par1)
+    p2, p2p = _c32(l_par2)
+    t1 = np.empty(2 * S, np.int32)
+    t1[0::2], t1[1::2] = np.asarray(l_sys_tail1), np.asarray(l_par_tail1)
+    t2 = np.empty(2 * S, np.int32)
+    t2[0::2], t2[1::2] = np.asarray(l_sys_tail2), np.asarray(l_par_tail2)
+    out = np.zeros(L, np.uint8)
+    lib.turbo_oracle_decode(
+        rsc.K, rsc.g_fb, rsc.g_fw, L, pp, lsp, p1p, p2p,
+        t1.ctypes.data_as(_i32p), t2.ctypes.data_as(_i32p),
+        n_iters, out.ctypes.data_as(_u8p))
+    return out
+
+
+def turbo_oracle_ber_point(rsc, L: int, perm, ebn0_db: float, *,
+                           qmax: int = 31, n_blocks: int = 1000,
+                           n_iters: int = 6, seed: int = 9865):
+    """Self-contained oracle BER/BLER campaign (rate-1/3, AWGN/BPSK,
+    the harness' 3-sigma AGC quantizer).  Returns (ber, bler)."""
+    lib = get_turbo_lib()
+    perm, pp = _c32(perm)
+    be = ctypes.c_int64(0)
+    blk = ctypes.c_int32(0)
+    lib.turbo_oracle_ber_point(
+        rsc.K, rsc.g_fb, rsc.g_fw, L, pp, float(ebn0_db), qmax,
+        n_blocks, n_iters, seed, ctypes.byref(be), ctypes.byref(blk))
+    return be.value / (n_blocks * L), blk.value / n_blocks
