@@ -7,6 +7,8 @@ from .sharding import (
     decode_sharded_kernel,
     encode_sharded,
     block_decode,
+    tbcc_crc_decode_sharded,
+    turbo_decode_sharded,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "decode_sharded_kernel",
     "encode_sharded",
     "block_decode",
+    "tbcc_crc_decode_sharded",
+    "turbo_decode_sharded",
 ]

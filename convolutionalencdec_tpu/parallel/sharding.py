@@ -242,6 +242,57 @@ def decode_sharded_batch(spec: CodeSpec, segments, mesh: Mesh,
                    out_specs=P(n_axes, None), check_vma=False)
     return fn(jnp.asarray(segments))
 
+def turbo_decode_sharded(llrs, L: int, mesh: Mesh, *, rv: int = 0,
+                         n_iters: int = 6, use_kernel: bool = True,
+                         interpret: bool = False):
+    """Channel-parallel LTE turbo receive chain under a mesh.
+
+    Independent code blocks shard over ALL mesh devices (both axes
+    flattened, like `decode_sharded_batch`); each device runs the full
+    derate-match -> iterative max-log-MAP chain (`lte.lte_turbo_decode`,
+    kernel constituents when `use_kernel`) on its local batch — zero
+    communication, linear scaling.
+
+    Args:
+      llrs: int32 [B, E] received LLRs; B must divide the mesh size.
+    Returns:
+      uint8 [B, L] decoded bits.
+    """
+    from jax import shard_map
+    from ..ops import lte
+
+    def shard_fn(llrs_local):
+        bits, _ = lte.lte_turbo_decode(llrs_local, L, rv=rv,
+                                       n_iters=n_iters,
+                                       use_kernel=use_kernel,
+                                       interpret=interpret)
+        return bits
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=P(("ch", "tb")),
+                   out_specs=P(("ch", "tb")), check_vma=False)
+    return fn(jnp.asarray(llrs, jnp.int32))
+
+
+def tbcc_crc_decode_sharded(spec: CodeSpec, crc, qllrs, list_size: int,
+                            mesh: Mesh, interpret: bool = False):
+    """Channel-parallel CRC-aided tail-biting list receiver under a
+    mesh: blocks shard over all devices, each running the full soft
+    list-decode + CRC-select chain.  Returns (bits [B, L], ok [B])."""
+    from jax import shard_map
+    from ..kernels import viterbi_decode_batch_tailbiting_crc_soft
+
+    def shard_fn(q_local):
+        out, ok, _ = viterbi_decode_batch_tailbiting_crc_soft(
+            spec, crc, q_local, list_size, None, interpret)
+        return out, ok
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=P(("ch", "tb"), None, None),
+                   out_specs=(P(("ch", "tb"), None), P(("ch", "tb"))),
+                   check_vma=False)
+    return fn(jnp.asarray(qllrs))
+
+
 #: Warm-up for the kernel-backed time-sharded decoder: must be a multiple
 #: of the fused kernel's chunk (CHUNK_F = 48) so the standard-init
 #: overwrite lands on a chunk boundary; 144 = 3 chunks > 4x the 5K rule.
