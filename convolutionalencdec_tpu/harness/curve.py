@@ -370,6 +370,54 @@ def run_harq_ir_turbo(*, L: int = 1024, E: int | None = None,
     return results
 
 
+#: Oracle-pinned turbo acceptance constants — the berTestK7 pattern
+#: (/root/reference/berTestK7/berTestK7.c:95-100, constants from MATLAB)
+#: applied to the turbo chain: expected BER/BLER from the INDEPENDENT
+#: C++ implementation (native/turbo_oracle.cpp, its own mt19937 RNG;
+#: rate-1/3 E=3L+12, qmax=31 AGC quantizer, 6 max-log iterations with
+#: 3/4 extrinsic scaling, seed 9865; 20000 blocks at L=1024, 6000 at
+#: L=6144).  Keyed by (L, ebn0_db).
+TURBO_EXPECTED = {
+    (1024, 0.5): {"ber": 1.6995e-2, "bler": 0.2997},
+    (1024, 1.0): {"ber": 1.1284e-4, "bler": 4.25e-3},
+    (6144, 0.4): {"ber": 9.3565e-3, "bler": 0.6497},
+    (6144, 0.7): {"ber": 9.901e-6, "bler": 7.667e-3},
+}
+
+
+def run_turbo_acceptance(points=((1024, 0.5), (6144, 0.4)), *,
+                         n_blocks: int = 4096, batch: int = 512,
+                         tolerance: float = 0.15, n_iters: int = 6,
+                         seed: int = 11, use_kernel: bool | None = None,
+                         interpret: bool = False, verbose: bool = True):
+    """Statistical acceptance of the turbo chain against the
+    independent-oracle constants: measured BER and BLER must fall
+    within `tolerance` relative error of `TURBO_EXPECTED` (the
+    reference gates at 10% relative on ~20 Mbit/point,
+    berTestK7.c:167-172; the turbo gate defaults to 15% because block
+    errors are burstier than bit errors).
+
+    Returns a list of dicts with a `passed` flag per point.
+    """
+    results = []
+    for L, ebn0 in points:
+        exp = TURBO_EXPECTED[(L, ebn0)]
+        pt = run_bler_curve_turbo(
+            ebn0_points=[ebn0], L=L, n_blocks=n_blocks, batch=batch,
+            n_iters=n_iters, seed=seed, use_kernel=use_kernel,
+            interpret=interpret, verbose=False)[0]
+        rel_ber = abs(pt["ber"] - exp["ber"]) / exp["ber"]
+        rel_bler = abs(pt["bler"] - exp["bler"]) / exp["bler"]
+        pt.update(L=L, expected_ber=exp["ber"], expected_bler=exp["bler"],
+                  rel_err_ber=rel_ber, rel_err_bler=rel_bler,
+                  passed=bool(rel_ber <= tolerance
+                              and rel_bler <= tolerance))
+        results.append(pt)
+        if verbose:
+            print(json.dumps(pt), flush=True)
+    return results
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--tbcc":
         run_bler_curve_tbcc(

@@ -31,3 +31,15 @@ def test_harq_ir_beats_chase():
     assert all(a <= b + 1e-9 for a, b in zip(ir[1:], ir[:-1]))  # monotone
     # after the full rv cycle IR must strictly beat chase at this point
     assert ir[-1] < ch[-1]
+
+
+def test_turbo_acceptance_ci_twin():
+    """CI-scale twin of the oracle-anchored acceptance gate (the full
+    gate runs on chip in scripts/tpu_sweep.py at >= 4096 blocks / 15%):
+    reduced blocks, widened tolerance, L=1024 waterfall point only."""
+    from convolutionalencdec_tpu.harness.curve import run_turbo_acceptance
+    res = run_turbo_acceptance(points=((1024, 0.5),), n_blocks=256,
+                               batch=128, tolerance=0.35,
+                               use_kernel=False, verbose=False)
+    assert res[0]["passed"], (res[0]["rel_err_ber"],
+                              res[0]["rel_err_bler"])
