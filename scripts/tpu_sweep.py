@@ -395,12 +395,17 @@ def turbo_lte_chain():
     deck, _ = lte.lte_turbo_decode(qd, L, n_iters=6, use_kernel=True)
     deck = np.asarray(jax.block_until_ready(deck))
     assert (deck == dec).all(), "turbo kernel != scan on chip"
-    fk = lambda: lte.lte_turbo_decode(qd, L, n_iters=6, use_kernel=True)[0]
+    # wall-clock with UNIQUE inputs per call (ROOFLINE §6: the tunnel
+    # dedupes identical executions); device truth is the profiler row.
+    qs = [jax.device_put(jnp.asarray(np.roll(q, i + 1, axis=0)))
+          for i in range(8)]
+    fk = lambda x: lte.lte_turbo_decode(x, L, n_iters=6,
+                                        use_kernel=True)[0]
+    jax.block_until_ready(fk(qs[0]))
     t0 = time.perf_counter()
-    for _ in range(8):
-        out = fk()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / 8
+    outs = [fk(x) for x in qs]
+    outs[-1].block_until_ready()
+    dt = (time.perf_counter() - t0) / len(qs)
     mbps = B * L / dt / 1e6
     return (f"turbo rate-1/2 @1.5dB: BER {ber:.1e}, blkerr {blk}/{B}; "
             f"kernel bit-exact vs scan; >= {mbps:.0f} Mbit/s wall "
