@@ -356,3 +356,76 @@ def turbo_decode_batch_kernel(rsc: RscSpec, l_sys, l_par1, l_par2,
         la1 = jnp.take((3 * le2) // 4, inv, axis=1)
     lapp = jnp.take(lapp2, inv, axis=1)
     return (lapp < 0).astype(jnp.uint8), lapp
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8, 9, 10, 11))
+def turbo_decode_batch_kernel_early(rsc: RscSpec, l_sys, l_par1, l_par2,
+                                    l_sys_tail1, l_par_tail1,
+                                    l_sys_tail2, l_par_tail2,
+                                    perm: tuple, crc=None,
+                                    max_iters: int = 8,
+                                    interpret: bool = False):
+    """Kernel turbo decode with CRC-gated early termination.
+
+    Production serving mode: after every full iteration the whole
+    batch's CRCs are checked (one MXU bit-matmul, `ops.crc`); blocks
+    latch their first CRC-passing decisions, and the `lax.while_loop`
+    exits as soon as EVERY block has passed (or at `max_iters`).
+    Batch-level exit is the TPU-idiomatic compromise — per-block exit
+    saves nothing on SIMD lanes without batch compaction; at operating
+    SNR a whole batch typically converges in 2-3 iterations for a
+    2-3x average-throughput win over a fixed schedule.
+
+    `crc` is a `CrcSpec` whose parity the encoded payload carries
+    (e.g. `CRC24B` per 36.212 code block).  Returns
+    (bits [B, L], lapp [B, L], ok [B] bool, iters_used int32).
+    Latching means a block that ever passes is never degraded by
+    later iterations (unlike the fixed-schedule decoder).
+    """
+    from ..ops.crc import crc_check
+    if crc is None:
+        raise ValueError("early termination needs a CrcSpec (pass "
+                         "crc=CRC24B or use turbo_decode_batch_kernel)")
+    pi_np = np.asarray(perm, np.int32)
+    inv_np = np.empty_like(pi_np)
+    inv_np[pi_np] = np.arange(pi_np.size, dtype=np.int32)
+    pi, inv = jnp.asarray(pi_np), jnp.asarray(inv_np)
+    l_sys = jnp.asarray(l_sys, jnp.int32)
+    B, L = l_sys.shape
+    l_sys_i = jnp.take(l_sys, pi, axis=1)
+
+    def one_iter(la1):
+        lapp1 = rsc_maxlogmap_batch_kernel(
+            rsc, l_sys, l_par1, la1, l_sys_tail1, l_par_tail1, interpret)
+        le1 = lapp1 - l_sys - la1
+        la2 = (3 * jnp.take(le1, pi, axis=1)) // 4
+        lapp2 = rsc_maxlogmap_batch_kernel(
+            rsc, l_sys_i, l_par2, la2, l_sys_tail2, l_par_tail2,
+            interpret)
+        le2 = lapp2 - l_sys_i - la2
+        la1n = jnp.take((3 * le2) // 4, inv, axis=1)
+        return la1n, jnp.take(lapp2, inv, axis=1)
+
+    def cond(carry):
+        it, _, _, ok, _, _ = carry
+        return (it < max_iters) & ~jnp.all(ok)
+
+    def body(carry):
+        it, la1, _, ok, best_bits, best_lapp = carry
+        la1n, lapp = one_iter(la1)
+        bits = (lapp < 0).astype(jnp.uint8)
+        okb = crc_check(crc, bits)
+        newly = okb & ~ok
+        best_bits = jnp.where(newly[:, None], bits, best_bits)
+        best_lapp = jnp.where(newly[:, None], lapp, best_lapp)
+        return (it + 1, la1n, lapp, ok | okb, best_bits, best_lapp)
+
+    init = (jnp.int32(0), jnp.zeros((B, L), jnp.int32),
+            jnp.zeros((B, L), jnp.int32), jnp.zeros((B,), bool),
+            jnp.zeros((B, L), jnp.uint8), jnp.zeros((B, L), jnp.int32))
+    it, _, lapp, ok, best_bits, best_lapp = jax.lax.while_loop(
+        cond, body, init)
+    bits = jnp.where(ok[:, None], best_bits,
+                     (lapp < 0).astype(jnp.uint8))
+    lapp = jnp.where(ok[:, None], best_lapp, lapp)
+    return bits, lapp, ok, it

@@ -431,6 +431,31 @@ def lte_turbo_encode(bits: np.ndarray, E: int, rv: int = 0,
     return np.asarray(rate_match_turbo(d, E, rv, Ncb, F), np.uint8)
 
 
+def lte_turbo_decode_early(llrs, L: int, crc=None, rv: int = 0,
+                           max_iters: int = 8, rsc: RscSpec = RscSpec(),
+                           Ncb: int | None = None, qmax: int | None = 31,
+                           F: int = 0, interpret: bool = False):
+    """Batched receive chain with CRC-gated early termination.
+
+    Like `lte_turbo_decode(use_kernel=True)` but the iteration count is
+    adaptive: the `lax.while_loop` exits once every block's CRC passes
+    (see `kernels.turbo_pallas.turbo_decode_batch_kernel_early`).
+    `crc` defaults to CRC24B (the 36.212 code-block CRC).  Returns
+    (bits [B, L], lapp, ok [B], iters_used).
+    """
+    from .crc import CRC24B
+    from ..kernels.turbo_pallas import turbo_decode_batch_kernel_early
+    crc = crc or CRC24B
+    filler = 0 if qmax is None else qmax
+    d = derate_match_turbo(llrs, L + 4, rv, Ncb, F=F, qmax=qmax,
+                           filler_llr=filler)
+    fields = turbo_demux_tails(d)
+    perm = lte_qpp(L)
+    return turbo_decode_batch_kernel_early(
+        rsc, *fields, perm=tuple(int(p) for p in perm), crc=crc,
+        max_iters=max_iters, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def lte_turbo_encode_batch(bits, E: int, rv: int = 0,
                            rsc: RscSpec = RscSpec(),

@@ -83,3 +83,31 @@ def test_turbo_kernel_supported_gate():
             np.zeros((1, 8), np.int32), np.zeros((1, 8), np.int32),
             np.zeros((1, 8), np.int32), np.zeros((1, 4), np.int32),
             np.zeros((1, 4), np.int32), True)
+
+
+def test_early_termination_crc():
+    """CRC-gated early exit: clean batch stops after one iteration with
+    every block latched correct; noisy batch never false-accepts."""
+    from convolutionalencdec_tpu.ops import lte
+    from convolutionalencdec_tpu.ops.crc import CRC24B, crc_append
+    rng = np.random.default_rng(41)
+    B, L = 8, 40
+    payload = rng.integers(0, 2, (B, L - 24), dtype=np.uint8)
+    msgs = np.asarray(crc_append(CRC24B, payload))
+    E = 3 * (L + 4)
+    tx = np.asarray(lte.lte_turbo_encode_batch(msgs, E))
+    q = ((1 - 2 * tx.astype(np.int32)) * 8).astype(np.int32)
+    bits, _, ok, iters = lte.lte_turbo_decode_early(q, L, interpret=True)
+    assert int(iters) == 1
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(bits), msgs)
+    # heavy noise: whatever passes must be RIGHT (no false accepts),
+    # and passed blocks' outputs are latched (match the message).
+    flip = rng.random(q.shape) < 0.12
+    qn = np.where(flip, -q, q)
+    bits, _, ok, iters = lte.lte_turbo_decode_early(qn, L, max_iters=4,
+                                                    interpret=True)
+    ok = np.asarray(ok)
+    bad = (np.asarray(bits) != msgs).any(1)
+    assert not (ok & bad).any()
+    assert 1 <= int(iters) <= 4
