@@ -173,14 +173,19 @@ def turbo_encode_batch_np(rsc: RscSpec, bits: np.ndarray, perm: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# TPU-native RSC encode: the recursion is a GF(2) IIR filter, and the
-# impulse response of 1/g_fb is PURELY PERIODIC (period p | 2^S - 1)
-# whenever g_fb taps the oldest register bit — so the whole recursive
-# encode collapses to per-residue-class cumulative XORs (one log-depth
-# `lax.associative_scan`) plus static shifted XORs for the g_fw FIR.
-# No sequential trellis walk: the same packet-at-once treatment
-# `ops/encode.py` gives the feed-forward reference encoder
-# (/root/reference/src/convEncode.c:46-130), extended to feedback.
+# TPU-native RSC encode: the recursion is a GF(2)-LINEAR map of the
+# input bits (an IIR filter g_fw(D)/g_fb(D) over GF(2)), so the whole
+# recursive encode is ONE binary Toeplitz matmul on the MXU — the same
+# linearity trick ops/crc.py uses for batched CRC.  The impulse
+# response h of 1/g_fb is eventually periodic (period | 2^S - 1; 7 for
+# the LTE constituent), but the matmul needs no periodicity: h is
+# simulated once per (rsc, L) and cached.  No sequential trellis walk
+# anywhere — the packet-at-once treatment `ops/encode.py` gives the
+# feed-forward reference encoder (/root/reference/src/convEncode.c:
+# 46-130), extended to feedback.  (A per-residue-class prefix-XOR
+# formulation exploiting the periodicity was measured 50x SLOWER: its
+# (B, L/7, 7) arrays put 7 in the lane dimension, which Mosaic pads to
+# 128 — docs/ROOFLINE.md §7.)
 
 def _parity_bits(x, mask: int):
     """Elementwise parity of (x & mask) via unrolled bit XORs."""
@@ -195,58 +200,61 @@ def _parity_bits(x, mask: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _rsc_impulse_period(rsc: RscSpec):
-    """(P, p): the purely periodic impulse response of 1/g_fb(D).
-
-    Returns None when the response is not purely periodic from index 0
-    (only possible when g_fb lacks the D^S tap, making the state map
-    non-invertible) — callers fall back to the scan encoder.  The
-    periodicity proof is by state return: with u = delta, the state
-    sequence is autonomous for t >= 1, so s_{1+p} == s_1 plus
-    h_p == h_0 imply h_{t+p} == h_t for every t.
-    """
+def _rsc_impulse(rsc: RscSpec, n: int) -> np.ndarray:
+    """First n samples of the impulse response of 1/g_fb(D): the
+    feedback sequence w for input delta (u_0 = 1)."""
     S = rsc.S
     fb = rsc.g_fb & ((1 << S) - 1)
-    h, states = [], []
+    h = np.zeros(n, np.uint8)
     s = 0
-    for t in range(2 * (1 << S) + 2):
-        states.append(s)
+    for t in range(n):
         u = 1 if t == 0 else 0
-        w = u ^ int(bin(s & fb).count("1") & 1)
-        h.append(w)
+        w = u ^ (bin(s & fb).count("1") & 1)
+        h[t] = w
         s = ((w << S) | s) >> 1
-    for p in range(1, (1 << S)):
-        if p + 1 < len(states) and states[p + 1] == states[1] and h[p] == h[0]:
-            return tuple(h[:p]), p
-    return None
+    return h
 
 
-def _rsc_encode_batch_scan(rsc: RscSpec, bits):
-    """Table-driven jitted fallback (one lax.scan step per trellis step)."""
-    nxt, par, _, _ = rsc_tables(rsc)
-    nxt_f = jnp.asarray((nxt[1] * 1).astype(np.int32))      # u=1 next
-    nxt_0 = jnp.asarray(nxt[0].astype(np.int32))
-    par_1 = jnp.asarray(par[1].astype(np.int32))
-    par_0 = jnp.asarray(par[0].astype(np.int32))
-    tail_u = jnp.asarray(np.array(
-        [rsc_tail_input(rsc, s) for s in range(rsc.num_states)], np.int32))
-    u_t = jnp.asarray(bits, jnp.int32).T                     # [L, B]
-    B = u_t.shape[1]
+#: Toeplitz block edge for the encode matmul: big enough to keep the
+#: MXU busy, small enough that the baked constants stay tiny (the
+#: remote-compile tunnel chokes on a dense (L, L) constant at L=6144).
+_ENC_BLOCK = 512
 
-    def step(s, u):
-        z = jnp.where(u == 1, par_1[s], par_0[s])
-        return jnp.where(u == 1, nxt_f[s], nxt_0[s]), z
 
-    s, zs = jax.lax.scan(step, jnp.zeros((B,), jnp.int32), u_t)
-    st, pt = [], []
-    for _ in range(rsc.S):
-        u = tail_u[s]
-        s, z = step(s, u)
-        st.append(u)
-        pt.append(z)
-    return (jnp.asarray(bits, jnp.uint8), zs.T.astype(jnp.uint8),
-            jnp.stack(st, axis=1).astype(jnp.uint8),
-            jnp.stack(pt, axis=1).astype(jnp.uint8))
+@functools.lru_cache(maxsize=None)
+def _rsc_encode_blocks(rsc: RscSpec, L: int):
+    """Block-Toeplitz encode operator for (u @ T) & 1.
+
+    The encoder is GF(2)-linear: parity = u convolved with hz, the
+    impulse response of g_fw(D)/g_fb(D).  With Kb-wide blocks the
+    convolution is nb block-matmuls against only nb DISTINCT (Kb, Kb)
+    int8 blocks Td[a, b] = hz[d*Kb + b - a] (Toeplitz), plus a skinny
+    (L, S) matrix of h columns for the final-state bits.
+
+    Returns (Td [nb, Kb, Kb] int8, Tt [L, S] int8, Lp).
+    """
+    S = rsc.S
+    Kb = min(_ENC_BLOCK, -(-L // 8) * 8)
+    Lp = -(-L // Kb) * Kb
+    nb = Lp // Kb
+    h = _rsc_impulse(rsc, Lp).astype(np.int64)
+    hz = np.zeros(Lp, np.int64)
+    for j in range(S + 1):
+        if (rsc.g_fw >> j) & 1:
+            lag = S - j
+            hz[lag:] ^= h[:Lp - lag] if lag else h
+    a = np.arange(Kb)[:, None]
+    b = np.arange(Kb)[None, :]
+    Td = np.zeros((nb, Kb, Kb), np.int8)
+    for d in range(nb):
+        idx = d * Kb + b - a
+        Td[d] = np.where(idx >= 0, hz[np.clip(idx, 0, Lp - 1)], 0)
+    j = np.arange(L)[:, None]
+    Tt = np.zeros((L, S), np.int8)
+    for i in range(S):
+        d2 = (L - S + i) - j[:, 0]
+        Tt[:, i] = np.where(d2 >= 0, h[np.clip(d2, 0, Lp - 1)], 0)
+    return Td, Tt, Lp
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -254,49 +262,35 @@ def rsc_encode_batch(rsc: RscSpec, bits):
     """Jitted batched RSC encode: [B, L] bits -> (sys, par, st, pt).
 
     Same outputs as `rsc_encode_batch_np` (which stays as the oracle),
-    computed without any sequential recurrence via the periodic-impulse
-    decomposition: w = u convolved with the p-periodic response of
-    1/g_fb (cumulative XOR per residue class mod p), parity = the g_fw
-    FIR of w, termination fields from the final state.
+    computed without any sequential recurrence: the encoder is GF(2)-
+    linear, so parity is a block-Toeplitz int8 MXU matmul against the
+    cached impulse-response blocks, reduced mod 2 — the CRC-as-matmul
+    design (ops/crc.py) applied to the whole encoder.  Termination
+    fields then follow from the final state in S static steps.
     """
     bits = jnp.asarray(bits, jnp.uint8)
     B, L = bits.shape
     S = rsc.S
-    hp = _rsc_impulse_period(rsc)
-    if hp is None:
-        return _rsc_encode_batch_scan(rsc, bits)
-    P, p = hp
-    dset = [d for d in range(p) if P[d]]
+    Td_np, Tt_np, Lp = _rsc_encode_blocks(rsc, L)
+    nb, Kb, _ = Td_np.shape
+    U = jnp.pad(bits, ((0, 0), (0, Lp - L))).astype(jnp.int8)
+    U = U.reshape(B, nb, Kb)
+    acc = jnp.zeros((B, nb, Kb), jnp.int32)
+    for d in range(nb):
+        # parity block j receives u block j-d through Toeplitz block d
+        part = jax.lax.dot_general(
+            U[:, :nb - d], jnp.asarray(Td_np[d]),
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc.at[:, d:].add(part)
+    z = (acc & 1).astype(jnp.uint8).reshape(B, Lp)[:, :L]
 
-    # w_t = XOR_{j <= t, (t-j) mod p in dset} u_j, via residue-class
-    # cumulative XORs C[m, r] = XOR_{m' <= m} u[m'*p + r].
-    M = -(-L // p)
-    U = jnp.pad(bits, ((0, 0), (0, M * p - L))).reshape(B, M, p)
-    C = jax.lax.associative_scan(jnp.bitwise_xor, U, axis=1)
-    Cprev = jnp.pad(C, ((0, 0), (1, 0), (0, 0)))[:, :M]
-    q = np.arange(p)
-    w = jnp.zeros((B, M, p), jnp.uint8)
-    for d in dset:
-        r = (q - d) % p                    # residue feeding output phase q
-        use_cur = jnp.asarray(r <= q)      # class r already updated at q
-        w = w ^ jnp.where(use_cur[None, None, :],
-                          jnp.take(C, jnp.asarray(r), axis=2),
-                          jnp.take(Cprev, jnp.asarray(r), axis=2))
-    w = w.reshape(B, M * p)[:, :L]
-
-    # parity: z_t = XOR over lags l of w_{t-l}, lags from g_fw's taps
-    # (bit j of g_fw taps w_{t-(S-j)}).
-    z = jnp.zeros_like(w)
-    for j in range(S + 1):
-        if (rsc.g_fw >> j) & 1:
-            l = S - j
-            z = z ^ (jnp.pad(w, ((0, 0), (l, 0)))[:, :L] if l else w)
-
-    # termination: final state bits are the last S w's (bit i = w_{L-S+i}).
-    wpad = jnp.pad(w, ((0, 0), (S, 0)))
+    # termination: final-state bit i = w_{L-S+i} = u . h-column i.
+    st_acc = jax.lax.dot_general(
+        bits.astype(jnp.int8), jnp.asarray(Tt_np),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32) & 1
     s = jnp.zeros((B,), jnp.int32)
     for i in range(S):
-        s = s | (wpad[:, L + i].astype(jnp.int32) << i)
+        s = s | (st_acc[:, i] << i)
     fb = rsc.g_fb & ((1 << S) - 1)
     fw_low = rsc.g_fw & ((1 << S) - 1)     # tail steps force w = 0
     st, pt = [], []

@@ -354,18 +354,30 @@ def turbo_encode_tpu():
     got = jax.block_until_ready(rsc_encode_batch(rsc, bits))
     for g, w in zip(got, want):
         assert (np.asarray(g) == w).all(), "prefix encoder != oracle"
+    # device truth via profiler (wall-clock through the tunnel is
+    # dedup-/dispatch-contaminated, ROOFLINE §6)
+    import glob as g_, gzip as gz_, json as js_
     dev = jax.device_put(jnp.asarray(bits))
     E = 3 * (L + 4)
-    f = jax.jit(lambda x: lte.lte_turbo_encode_batch(x, E))
+    def enc_chain(x):
+        return lte.lte_turbo_encode_batch(x, E)
+    f = jax.jit(enc_chain)
     jax.block_until_ready(f(dev))
-    t0 = time.perf_counter()
-    for _ in range(32):
+    jax.profiler.start_trace("/tmp/sweep_encprof")
+    for _ in range(4):
         out = f(dev)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / 32
-    return (f"parallel-prefix RSC bit-exact vs NumPy oracle (B={B} "
-            f"L={L}); full tx chain {B*L/dt/1e9:.0f} Gbit/s")
-check("turbo encode (prefix, jitted)", turbo_encode_tpu)
+    out.block_until_ready()
+    jax.profiler.stop_trace()
+    fn = sorted(g_.glob("/tmp/sweep_encprof/**/*.trace.json.gz",
+                        recursive=True))[-1]
+    ev = js_.load(gz_.open(fn))["traceEvents"]
+    tot = sum(e["dur"] for e in ev if e.get("ph") == "X" and "dur" in e
+              and e.get("name", "").startswith("jit_enc_chain"))
+    per = tot / 4
+    return (f"block-Toeplitz matmul RSC bit-exact vs NumPy oracle "
+            f"(B={B} L={L}); full tx chain {per:.0f} us/call device = "
+            f"{B*L/per/1e3:.1f} Gbit/s")
+check("turbo encode (matmul, jitted)", turbo_encode_tpu)
 
 
 def _turbo_rx(rng, B, L, E, ebn0):

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from convolutionalencdec_tpu.ops.turbo import (
-    QPP_TABLE, RscSpec, _rsc_impulse_period, qpp_interleaver,
+    QPP_TABLE, RscSpec, _rsc_impulse, qpp_interleaver,
     rsc_encode_batch, rsc_encode_batch_np, rsc_encode_np, rsc_maxlogmap,
     rsc_step, rsc_tables, turbo_decode, turbo_decode_batch,
     turbo_encode_batch, turbo_encode_batch_np, turbo_encode_np)
@@ -47,11 +47,12 @@ def test_rsc_encoder_vs_literal_oracle():
             assert (g == w).all()
 
 
-def test_rsc_impulse_period_lte():
+def test_rsc_impulse_lte_periodic():
     # 1/g_fb for g_fb=13 octal is purely periodic with period 7:
-    # [1,0,1,1,1,0,0] — the basis of the parallel-prefix encoder.
-    P, p = _rsc_impulse_period(RSC)
-    assert p == 7 and list(P) == [1, 0, 1, 1, 1, 0, 0]
+    # [1,0,1,1,1,0,0] — the Toeplitz encode matrix is built from it.
+    h = _rsc_impulse(RSC, 21)
+    assert list(h[:7]) == [1, 0, 1, 1, 1, 0, 0]
+    assert (h[7:14] == h[:7]).all() and (h[14:] == h[:7]).all()
 
 
 def test_rsc_encode_batch_jit_vs_oracle():
@@ -66,11 +67,10 @@ def test_rsc_encode_batch_jit_vs_oracle():
                 assert (np.asarray(g) == w).all(), (spec, L)
 
 
-def test_rsc_encode_batch_scan_fallback():
-    # g_fb without the D^S tap: impulse response has a transient, the
-    # prefix path must detect it and the scan fallback must still match.
+def test_rsc_encode_batch_nonperiodic_gfb():
+    # g_fb without the D^S tap: impulse response has a transient (not
+    # purely periodic) — the Toeplitz matmul needs no periodicity.
     spec = RscSpec(K=4, g_fb=0o16, g_fw=0o15)   # 0b1110: no D^3 tap
-    assert _rsc_impulse_period(spec) is None
     rng = np.random.default_rng(13)
     bits = rng.integers(0, 2, (4, 50), dtype=np.uint8)
     want = rsc_encode_batch_np(spec, bits)
