@@ -9,9 +9,12 @@ NATIVE_DIR := convolutionalencdec_tpu/native
 
 all: native
 
-native: $(NATIVE_DIR)/libfec_oracle.so
+native: $(NATIVE_DIR)/libfec_oracle.so $(NATIVE_DIR)/libturbo_oracle.so
 
 $(NATIVE_DIR)/libfec_oracle.so: $(NATIVE_DIR)/fec_oracle.cpp
+	$(CXX) $(CXXFLAGS) -shared $< -o $@
+
+$(NATIVE_DIR)/libturbo_oracle.so: $(NATIVE_DIR)/turbo_oracle.cpp
 	$(CXX) $(CXXFLAGS) -shared $< -o $@
 
 test: native
@@ -24,5 +27,5 @@ ber:
 	python -c "from convolutionalencdec_tpu.harness import run_reference_ber_test as r; import sys; sys.exit(0 if all(p.passed for p in r()) else 1)"
 
 clean:
-	rm -f $(NATIVE_DIR)/libfec_oracle.so
+	rm -f $(NATIVE_DIR)/libfec_oracle.so $(NATIVE_DIR)/libturbo_oracle.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
