@@ -76,10 +76,6 @@ def _chunk_len(S: int) -> int:
     return int(tc)
 
 
-def _parity(x: int) -> int:
-    return bin(x).count("1") & 1
-
-
 def _stages_in_kernel(rsc: RscSpec):
     """Per-stage (NS, 1) int32 edge-label columns, derived INSIDE the
     kernel from a broadcasted iota (Pallas kernels cannot capture
