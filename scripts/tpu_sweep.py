@@ -454,6 +454,29 @@ def harq_ir():
 check("HARQ incremental redundancy (rv cycle)", harq_ir)
 
 
+def turbo_early_stop():
+    from convolutionalencdec_tpu.ops import lte
+    from convolutionalencdec_tpu.ops.crc import CRC24B, crc_append
+    rng = np.random.default_rng(43)
+    B, L = 512, 1024
+    E = 2 * L
+    payload = rng.integers(0, 2, (B, L - 24), dtype=np.uint8)
+    msgs = np.asarray(crc_append(CRC24B, payload))
+    tx = np.asarray(lte.lte_turbo_encode_batch(jnp.asarray(msgs), E))
+    sg = float(np.sqrt(1 / (2 * 10 ** (2.0 / 10) * (L / E))))
+    y = (1 - 2 * tx.astype(np.float64)) + sg * rng.standard_normal(tx.shape)
+    q = jnp.asarray(np.clip(np.round(2 * y / sg ** 2), -31, 31).astype(np.int32))
+    bits, _, ok, iters = lte.lte_turbo_decode_early(q, L, max_iters=8)
+    bits = np.asarray(jax.block_until_ready(bits))
+    ok = np.asarray(ok)
+    bad = (bits != msgs).any(1)
+    assert not (ok & bad).any(), "false accept under early stop"
+    assert 1 <= int(iters) <= 8
+    return (f"CRC-gated while_loop exits at iteration {int(iters)}/8; "
+            f"{int(ok.sum())}/{B} blocks pass, 0 false accepts @2dB r=1/2")
+check("turbo early termination (CRC-gated)", turbo_early_stop)
+
+
 def dlsch_tb():
     from convolutionalencdec_tpu.ops import lte
     rng = np.random.default_rng(23)
