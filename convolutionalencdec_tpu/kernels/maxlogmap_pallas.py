@@ -169,7 +169,7 @@ def _map_fwd_kernel(spec: CodeSpec):
     return kernel
 
 
-def _map_bwd_kernel(spec: CodeSpec, nt: int):
+def _map_bwd_kernel(spec: CodeSpec, nt: int, pen_start: int):
     NS = spec.num_states
     HALF, Q4, Q8 = NS // 2, NS // 4, NS // 8
     #: odd-destination block indices per stage layout (8-block lists):
@@ -177,9 +177,11 @@ def _map_bwd_kernel(spec: CodeSpec, nt: int):
     #: 2): j odd — the traceback kernel's odd-state picks.
     ODD = {0: (4, 5, 6, 7), 1: (2, 3, 6, 7), 2: (1, 3, 5, 7)}
 
-    def kernel(pen_ref, w_ref, cost_ref, ckpt_ref, llr_ref, b_ref):
-        # pen_ref: (Tp, 1) int32 SMEM — u=1 penalty per global step
-        #   (BIG_K on termination/padded steps, 0 elsewhere).
+    def kernel(w_ref, cost_ref, ckpt_ref, llr_ref, b_ref):
+        # u=1 penalties (BIG_K on termination/padded steps, 0 elsewhere)
+        #   are computed inline from the global step index vs the static
+        #   pen_start — an SMEM (Tp, 1) row padded each entry to 512 B
+        #   and blew the 1 MB SMEM budget at T >= ~2000.
         # llr_ref: (CHUNK_M, B) int32 — L_t rows for this chunk.
         # b_ref:   (NS, B) int32 scratch — beta at chunk boundary,
         #   natural order, carried across grid steps (reverse time).
@@ -209,7 +211,8 @@ def _map_bwd_kernel(spec: CodeSpec, nt: int):
             stage = t % 3
             em = ems[t]
             emc = qrows[t] - em
-            pen = pen_ref[tg_base + t, 0]
+            pen = jnp.where(tg_base + t >= pen_start,
+                            jnp.int32(BIG_K), jnp.int32(0))
             beta = [b_ + pen if bi in ODD[stage] else b_
                     for bi, b_ in enumerate(beta)]
             # Emit partials: alpha_{t+1} + beta_{t+1}, blockwise mins.
@@ -336,16 +339,12 @@ def maxlogmap_llrs_batch_kernel(spec: CodeSpec, qllrs,
 
     # u=1 penalties: BIG_K on termination + padded steps (== a state-0
     # anchor at the true T; ops/maxlogmap.py header / module docstring).
-    pen = np.zeros((Tp, 1), np.int32)
     start = (T - spec.S) if terminated else T
-    pen[start:] = BIG_K
 
     llrs = pl.pallas_call(
-        _map_bwd_kernel(spec, nt),
+        _map_bwd_kernel(spec, nt, start),
         grid=(nb, nt),
-        in_specs=[pl.BlockSpec((Tp, 1), lambda b, t: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec(Wm.shape, lambda b, t: (0, 0),
+        in_specs=[pl.BlockSpec(Wm.shape, lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((n, CHUNK_M, B_TILE),
                                lambda b, t, n_t=nt: (0, n_t - 1 - t, b),
@@ -359,5 +358,5 @@ def maxlogmap_llrs_batch_kernel(spec: CodeSpec, qllrs,
         out_shape=jax.ShapeDtypeStruct((Tp, Bp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((NS, B_TILE), CDT)],
         interpret=interpret,
-    )(jnp.asarray(pen), Wm, q_t, ckpts)
+    )(Wm, q_t, ckpts)
     return llrs[:T, :B].T
