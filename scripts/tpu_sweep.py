@@ -341,6 +341,23 @@ def ratematched_rx():
             f"blkerr {blk.sum()}/{B} vs E=168 {b1.sum()}; 0 false accepts")
 check("rate-matched receiver (36.212)", ratematched_rx)
 
+def maxlogmap_kernel():
+    from convolutionalencdec_tpu.kernels.maxlogmap_pallas import (
+        maxlogmap_llrs_batch_kernel)
+    from convolutionalencdec_tpu.ops.maxlogmap import maxlogmap_llrs
+    spec = fec.NASA_K7
+    rng = np.random.default_rng(3)
+    B, T = 2048, 2048       # T >= 2000 guards the r4 SMEM regression
+    qs = rng.integers(-31, 32, (B, T, spec.n)).astype(np.int8)
+    out = np.asarray(maxlogmap_llrs_batch_kernel(spec, jnp.asarray(qs)))
+    want = np.asarray(jax.vmap(lambda x: maxlogmap_llrs(
+        spec, x.astype(jnp.int32)))(jnp.asarray(qs[:4])))
+    L = T - spec.S
+    assert (out[:4, :L] == want[:, :L]).all(), "MAP kernel != scan"
+    return f"alpha-checkpoint BCJR bit-exact vs scan, B={B} T={T}"
+check("max-log-MAP kernel (NS=64)", maxlogmap_kernel)
+
+
 def turbo_encode_tpu():
     from convolutionalencdec_tpu.ops import lte
     from convolutionalencdec_tpu.ops.turbo import (RscSpec,
