@@ -462,7 +462,7 @@ def lte_turbo_encode_batch(bits, E: int, rv: int = 0,
                            Ncb: int | None = None, F: int = 0):
     """Jitted batched transmit chain: [B, L] bits -> [B, E] channel bits.
 
-    One XLA program: parallel-prefix RSC encode of both constituents
+    One XLA program: block-Toeplitz MXU RSC encode of both constituents
     (`turbo.rsc_encode_batch`), tail multiplexing, and the rate-matching
     gather.  L must be in `LTE_BLOCK_SIZES`; the NumPy
     `lte_turbo_encode` stays as the single-block oracle.
