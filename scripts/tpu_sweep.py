@@ -565,7 +565,22 @@ def profile_all():
     for k_, v in dur.most_common(20):
         per = v / max(cnt[k_], 1)
         lines.append(f"{k_}: {per:.0f} us/call x{cnt[k_]}")
-    return "; ".join(lines)
+    # Regression gate: device-truth us/call vs the recorded round-4
+    # numbers (SWEEP_r04.txt; stable to ~1% across chip runs).  1.4x
+    # slack rides out tunnel jitter while catching real regressions
+    # (the round-1 duplicate-kernel bug was ~2x).  viterbi_decode_batch
+    # averages the K7 and K9 calls (same jit name) — its bound covers
+    # the merged mean, which is what the artifact records.
+    expect_us = {"jit_viterbi_decode_batch": 930,
+                 "jit_viterbi_decode_batch_soft": 592,
+                 "jit_stream_decode_batch": 976,
+                 "jit_turbo_decode_batch_kernel": 994}
+    for k_, exp in expect_us.items():
+        per = dur[k_] / max(cnt[k_], 1)
+        assert cnt[k_] > 0, f"{k_} missing from trace"
+        assert per <= 1.4 * exp, \
+            f"perf regression: {k_} {per:.0f} us/call vs expected ~{exp}"
+    return "; ".join(lines) + "; all within 1.4x of recorded device truth"
 check("profiler throughput", profile_all)
 
 # --- full-scale BER acceptance (slow) ---
