@@ -24,7 +24,12 @@ def _rand_llrs(rng, B, L, S, mag=31):
             rng.integers(-mag, mag + 1, (B, S)).astype(np.int32))
 
 
-@pytest.mark.parametrize("L", [6, 24, 40, 100])
+# Lengths chosen to sweep the kernel's layout seams: L mod S (the
+# sublane-rotation phase of the beta boundary) takes all three values,
+# and L relative to the 24-step chunk covers exact fit (24, 48),
+# sub-chunk (6), pad-to-chunk (37, 40, 47, 100), and multi-chunk with
+# every pad residue (61, 104, 136).
+@pytest.mark.parametrize("L", [6, 24, 37, 40, 47, 48, 61, 100, 104, 136])
 def test_rsc_map_kernel_bitexact_vs_scan(L):
     rng = np.random.default_rng(L)
     B = 5
