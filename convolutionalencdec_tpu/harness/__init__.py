@@ -8,11 +8,13 @@ from .ber import (
     ber_sweep,
     run_reference_ber_test,
 )
-from .curve import (run_bler_curve_tbcc, run_bler_curve_turbo, run_curve,
-                    run_harq_ir_turbo)
+from .curve import (TURBO_EXPECTED, run_bler_curve_tbcc,
+                    run_bler_curve_turbo, run_curve, run_harq_ir_turbo,
+                    run_turbo_acceptance)
 
 __all__ = [
     "BER_EXPECTED_K7",
+    "TURBO_EXPECTED",
     "ber_point",
     "ber_sweep",
     "run_reference_ber_test",
@@ -20,4 +22,5 @@ __all__ = [
     "run_bler_curve_turbo",
     "run_curve",
     "run_harq_ir_turbo",
+    "run_turbo_acceptance",
 ]

@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.turbo import RscSpec, rsc_tables
+from ..ops.turbo import RscSpec, _parity_bits, rsc_tables
 
 #: Lanes (code blocks) per program (2 lane tiles — measured ~10% faster
 #: than 128 on chip; 512 adds nothing).
@@ -91,15 +91,7 @@ def _stages_in_kernel(rsc: RscSpec):
     fb = rsc.g_fb & (NS - 1)
     q = jax.lax.broadcasted_iota(jnp.int32, (NS, 1), 0)
 
-    def parity_of(x, mask: int):
-        out = None
-        b = 0
-        while mask >> b:
-            if (mask >> b) & 1:
-                t = (x >> b) & 1
-                out = t if out is None else out ^ t
-            b += 1
-        return jnp.zeros_like(x) if out is None else out
+    parity_of = _parity_bits          # shared with the scan/encoder
 
     def ror(x, k):
         return ((x >> k) | (x << (S - k))) & (NS - 1) if k % S else x
@@ -318,6 +310,41 @@ def rsc_maxlogmap_batch_kernel(rsc: RscSpec, l_sys, l_par, l_apriori,
     return llrs[:L, :B].T
 
 
+def _perm_arrays(perm: tuple):
+    """Interleaver and its inverse as device arrays."""
+    pi_np = np.asarray(perm, np.int32)
+    inv_np = np.empty_like(pi_np)
+    inv_np[pi_np] = np.arange(pi_np.size, dtype=np.int32)
+    return jnp.asarray(pi_np), jnp.asarray(inv_np)
+
+
+def _make_one_iter(rsc, l_sys, l_par1, l_par2, l_sys_tail1, l_par_tail1,
+                   l_sys_tail2, l_par_tail2, pi, inv, interpret):
+    """One full turbo iteration (DEC1 -> interleave -> DEC2 ->
+    de-interleave) through the kernel MAPs, shared by the fixed-
+    schedule and early-termination decoders so the exchange schedule
+    and 3/4 extrinsic scaling can never drift between them.
+
+    Returns `one_iter(la1) -> (la1_next, lapp)` with `lapp` the
+    de-interleaved DEC2 a-posteriori LLRs.
+    """
+    l_sys_i = jnp.take(l_sys, pi, axis=1)
+
+    def one_iter(la1):
+        lapp1 = rsc_maxlogmap_batch_kernel(
+            rsc, l_sys, l_par1, la1, l_sys_tail1, l_par_tail1, interpret)
+        le1 = lapp1 - l_sys - la1
+        la2 = (3 * jnp.take(le1, pi, axis=1)) // 4
+        lapp2 = rsc_maxlogmap_batch_kernel(
+            rsc, l_sys_i, l_par2, la2, l_sys_tail2, l_par_tail2,
+            interpret)
+        le2 = lapp2 - l_sys_i - la2
+        la1n = jnp.take((3 * le2) // 4, inv, axis=1)
+        return la1n, jnp.take(lapp2, inv, axis=1)
+
+    return one_iter
+
+
 @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
 def turbo_decode_batch_kernel(rsc: RscSpec, l_sys, l_par1, l_par2,
                               l_sys_tail1, l_par_tail1,
@@ -332,25 +359,16 @@ def turbo_decode_batch_kernel(rsc: RscSpec, l_sys, l_par1, l_par2,
     interleaver as a static tuple.  Returns (uint8 [B, L] bits,
     int32 [B, L] a-posteriori LLRs).
     """
-    pi_np = np.asarray(perm, np.int32)
-    inv_np = np.empty_like(pi_np)
-    inv_np[pi_np] = np.arange(pi_np.size, dtype=np.int32)
-    pi, inv = jnp.asarray(pi_np), jnp.asarray(inv_np)
+    pi, inv = _perm_arrays(perm)
     l_sys = jnp.asarray(l_sys, jnp.int32)
     B, L = l_sys.shape
+    one_iter = _make_one_iter(rsc, l_sys, l_par1, l_par2,
+                              l_sys_tail1, l_par_tail1,
+                              l_sys_tail2, l_par_tail2, pi, inv, interpret)
     la1 = jnp.zeros((B, L), jnp.int32)
-    l_sys_i = jnp.take(l_sys, pi, axis=1)
-    lapp2 = jnp.zeros((B, L), jnp.int32)
+    lapp = jnp.zeros((B, L), jnp.int32)
     for _ in range(n_iters):
-        lapp1 = rsc_maxlogmap_batch_kernel(
-            rsc, l_sys, l_par1, la1, l_sys_tail1, l_par_tail1, interpret)
-        le1 = lapp1 - l_sys - la1
-        la2 = (3 * jnp.take(le1, pi, axis=1)) // 4
-        lapp2 = rsc_maxlogmap_batch_kernel(
-            rsc, l_sys_i, l_par2, la2, l_sys_tail2, l_par_tail2, interpret)
-        le2 = lapp2 - l_sys_i - la2
-        la1 = jnp.take((3 * le2) // 4, inv, axis=1)
-    lapp = jnp.take(lapp2, inv, axis=1)
+        la1, lapp = one_iter(la1)
     return (lapp < 0).astype(jnp.uint8), lapp
 
 
@@ -382,25 +400,12 @@ def turbo_decode_batch_kernel_early(rsc: RscSpec, l_sys, l_par1, l_par2,
     if crc is None:
         raise ValueError("early termination needs a CrcSpec (pass "
                          "crc=CRC24B or use turbo_decode_batch_kernel)")
-    pi_np = np.asarray(perm, np.int32)
-    inv_np = np.empty_like(pi_np)
-    inv_np[pi_np] = np.arange(pi_np.size, dtype=np.int32)
-    pi, inv = jnp.asarray(pi_np), jnp.asarray(inv_np)
+    pi, inv = _perm_arrays(perm)
     l_sys = jnp.asarray(l_sys, jnp.int32)
     B, L = l_sys.shape
-    l_sys_i = jnp.take(l_sys, pi, axis=1)
-
-    def one_iter(la1):
-        lapp1 = rsc_maxlogmap_batch_kernel(
-            rsc, l_sys, l_par1, la1, l_sys_tail1, l_par_tail1, interpret)
-        le1 = lapp1 - l_sys - la1
-        la2 = (3 * jnp.take(le1, pi, axis=1)) // 4
-        lapp2 = rsc_maxlogmap_batch_kernel(
-            rsc, l_sys_i, l_par2, la2, l_sys_tail2, l_par_tail2,
-            interpret)
-        le2 = lapp2 - l_sys_i - la2
-        la1n = jnp.take((3 * le2) // 4, inv, axis=1)
-        return la1n, jnp.take(lapp2, inv, axis=1)
+    one_iter = _make_one_iter(rsc, l_sys, l_par1, l_par2,
+                              l_sys_tail1, l_par_tail1,
+                              l_sys_tail2, l_par_tail2, pi, inv, interpret)
 
     def cond(carry):
         it, _, _, ok, _, _ = carry

@@ -258,6 +258,18 @@ def segment_sizes(B: int) -> tuple[int, int, int, int, int]:
     return C, Kp, Km, C - Cm, Cm
 
 
+def _segment_layout(B: int) -> tuple[list[int], int]:
+    """Per-code-block sizes (transmission order: the Cm smaller Km
+    blocks first, per §5.1.2's k ordering) and filler count F for a
+    B-bit segmentation input.  THE single source of the layout — both
+    the encode side (`segment_tb`) and the decode side
+    (`dlsch_block_sizes`) derive from it, so they cannot desync.
+    """
+    C, Kp, Km, Cp, Cm = segment_sizes(B)
+    F = Cm * Km + Cp * Kp - (B + (24 * C if C > 1 else 0))
+    return [Km] * Cm + [Kp] * Cp, F
+
+
 def segment_tb(bits: np.ndarray):
     """Segment a transport block (TB CRC already attached) per §5.1.2.
 
@@ -270,12 +282,11 @@ def segment_tb(bits: np.ndarray):
     from .crc import CRC24B, crc_append
     bits = np.asarray(bits, np.uint8)
     B = bits.size
-    C, Kp, Km, Cp, Cm = segment_sizes(B)
-    payload = (Kp - 24 if C > 1 else Kp, Km - 24)
-    F = Cm * Km + Cp * Kp - (B + (24 * C if C > 1 else 0))
+    sizes, F = _segment_layout(B)
+    C = len(sizes)
     blocks, pos = [], 0
-    for c in range(C):
-        size = payload[0] if c >= Cm else payload[1]
+    for c, K in enumerate(sizes):
+        size = K - 24 if C > 1 else K
         take = size - (F if c == 0 else 0)
         seg = bits[pos:pos + take]
         pos += take
@@ -310,10 +321,7 @@ def desegment_tb(blocks, F: int) -> np.ndarray:
 def dlsch_block_sizes(A: int) -> tuple[list[int], int]:
     """Per-code-block sizes (transmission order) and filler count F for
     an A-bit payload (CRC24A appended before segmentation)."""
-    B = A + 24
-    C, Kp, Km, Cp, Cm = segment_sizes(B)
-    F = Cm * Km + Cp * Kp - (B + (24 * C if C > 1 else 0))
-    return [Km] * Cm + [Kp] * Cp, F
+    return _segment_layout(A + 24)
 
 
 def dlsch_rate_match_sizes(G: int, C: int, n_l: int = 1,
