@@ -193,9 +193,12 @@ def _turbo_bler_batch(key, n_blocks: int, L: int, E: int, n_iters: int,
                       interpret: bool = False):
     """One turbo batch over AWGN/BPSK.
 
-    Returns (bit_errors, block_errors, false_accepts, crc_rejects, n).
-    Eb/N0 is per message bit at code rate L/E (CRC24B counted as
-    payload, matching the harness' stated convention).
+    Returns (bit_errors, block_errors, false_accepts, n).  Eb/N0 is
+    per message bit at code rate L/E (CRC24B counted as payload,
+    matching the harness' stated convention).  (No "CRC rejects a
+    correct block" counter: messages are built by crc_append, so a
+    block equal to its message always passes — the event is
+    structurally impossible in this harness.)
     """
     from ..ops import lte
     from ..ops.crc import CRC24B, crc_append, crc_check
@@ -213,8 +216,7 @@ def _turbo_bler_batch(key, n_blocks: int, L: int, E: int, n_iters: int,
     errs = dec != msgs
     blk = jnp.any(errs, axis=1)
     ok = crc_check(CRC24B, dec)
-    return (jnp.sum(errs), jnp.sum(blk), jnp.sum(ok & blk),
-            jnp.sum(~ok & ~blk), n_blocks)
+    return (jnp.sum(errs), jnp.sum(blk), jnp.sum(ok & blk), n_blocks)
 
 
 def run_bler_curve_turbo(ebn0_points=None, *, L: int = 6144,
@@ -241,14 +243,14 @@ def run_bler_curve_turbo(ebn0_points=None, *, L: int = 6144,
     results = []
     for ebn0 in ebn0_points:
         key = jax.random.PRNGKey(seed)
-        be = blk = fa = rej = total = 0
+        be = blk = fa = total = 0
         done = 0
         while done < n_blocks:
             nb = min(batch, n_blocks - done)
             key, sub = jax.random.split(key)
-            b, k_, f, r, n_ = _turbo_bler_batch(
+            b, k_, f, n_ = _turbo_bler_batch(
                 sub, nb, L, E, n_iters, ebn0, use_kernel, interpret)
-            be += int(b); blk += int(k_); fa += int(f); rej += int(r)
+            be += int(b); blk += int(k_); fa += int(f)
             total += int(n_)
             done += nb
         point = {
@@ -256,7 +258,6 @@ def run_bler_curve_turbo(ebn0_points=None, *, L: int = 6144,
             "ber": be / (total * L),
             "bler": blk / total,
             "false_accept": fa / total,
-            "crc_reject_good": rej / total,
             "blocks": total,
         }
         results.append(point)

@@ -448,7 +448,13 @@ def lte_turbo_decode_early(llrs, L: int, crc=None, rv: int = 0,
     Like `lte_turbo_decode(use_kernel=True)` but the iteration count is
     adaptive: the `lax.while_loop` exits once every block's CRC passes
     (see `kernels.turbo_pallas.turbo_decode_batch_kernel_early`).
-    `crc` defaults to CRC24B (the 36.212 code-block CRC).  Returns
+
+    `crc` must be the CRC the decoded block actually CARRIES in its
+    trailing 24 bits: the default CRC24B matches §5.1.2 code blocks of
+    a segmented (C > 1) transport block; a SINGLE-block transport
+    block (C = 1, A <= 6120) carries only the TB-level **CRC24A** —
+    pass `crc=CRC24A` there, or early termination never fires and
+    `ok` stays False for correct blocks.  Returns
     (bits [B, L], lapp, ok [B], iters_used).
     """
     from .crc import CRC24B
@@ -497,12 +503,18 @@ def lte_turbo_decode(llrs, L: int, rv: int = 0, n_iters: int = 6,
     the TPU production path.
     """
     filler = 0 if qmax is None else qmax
+    if jnp.ndim(llrs) == 1:
+        # Single block: batch-of-1 through the same code paths so
+        # use_kernel/interpret behave identically to the batched call.
+        bits, lapp = lte_turbo_decode(
+            jnp.asarray(llrs)[None], L, rv=rv, n_iters=n_iters, rsc=rsc,
+            Ncb=Ncb, qmax=qmax, F=F, use_kernel=use_kernel,
+            interpret=interpret)
+        return bits[0], lapp[0]
     d = derate_match_turbo(llrs, L + 4, rv, Ncb, F=F, qmax=qmax,
                            filler_llr=filler)
     fields = turbo_demux_tails(d)
     perm = lte_qpp(L)
-    if jnp.ndim(llrs) == 1:
-        return turbo_mod.turbo_decode(rsc, *fields, tuple(perm), n_iters)
     if use_kernel:
         from ..kernels.turbo_pallas import turbo_decode_batch_kernel
         return turbo_decode_batch_kernel(

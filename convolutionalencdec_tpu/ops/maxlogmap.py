@@ -120,11 +120,16 @@ def maxlogmap_llrs(spec: CodeSpec, qllrs, terminated: bool = True):
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def maxlogmap_decode(spec: CodeSpec, qllrs, terminated: bool = True):
     """Hard bitwise-MAP decisions from `maxlogmap_llrs` (negative LLR ->
-    bit 1).  Returns uint8 [(T - S) * k] message bits.  Note bitwise MAP
-    can differ from Viterbi's sequence-ML on rare near-tie bits — both
-    are correct under their own criterion."""
+    bit 1).  Returns uint8 message bits: [(T - S) * k] for a terminated
+    packet (the S termination steps are stripped, like the Viterbi
+    decoders), or all [T * k] positions when `terminated=False` — a
+    truncated stream has no termination steps to strip.  Note bitwise
+    MAP can differ from Viterbi's sequence-ML on rare near-tie bits —
+    both are correct under their own criterion."""
     llrs = maxlogmap_llrs(spec, qllrs, terminated)
     bits = (llrs < 0).astype(jnp.uint8)
+    if not terminated:
+        return bits
     L = (qllrs.shape[0] - spec.S) * spec.k
     return bits[:L]
 

@@ -160,7 +160,7 @@ def viterbi_decode_ragged_soft(spec: CodeSpec, qllrs, seg_lengths):
     Returns:
       uint8 [B, (Tmax - S) * k]; positions >= (t_b - S)*k are zero.
     """
-    from .viterbi import viterbi_forward
+    from .viterbi import ragged_epilogue, viterbi_forward
     qllrs = jnp.asarray(qllrs, jnp.int8)
     B, T, _ = qllrs.shape
     lens = jnp.asarray(seg_lengths, jnp.int32)
@@ -171,14 +171,7 @@ def viterbi_decode_ragged_soft(spec: CodeSpec, qllrs, seg_lengths):
         decisions, _ = jax.vmap(
             lambda q: viterbi_forward(spec, soft_step_metrics(spec, q))
         )(qllrs)
-    live = jnp.arange(T, dtype=jnp.int32)[None, :] < lens[:, None]
-    decisions = decisions * live[:, :, None].astype(jnp.uint8)
-    bits = jax.vmap(
-        lambda d: traceback_terminated(spec, d, num_pad=0))(decisions)
-    pos = jnp.arange(T * spec.k, dtype=jnp.int32)
-    msg_live = pos[None, :] < (lens[:, None] - spec.S) * spec.k
-    bits = bits * msg_live.astype(jnp.uint8)
-    return bits[:, : (T - spec.S) * spec.k]
+    return ragged_epilogue(spec, decisions, lens, T)
 
 
 def hard_bits_to_qllrs(segment_bits):

@@ -263,8 +263,12 @@ class StreamingDecoderBatch:
     def __post_init__(self):
         self.traceback_len = self.traceback_len or self.spec.traceback_len
         if self.use_kernel is None:
+            # The register-exchange kernel needs the butterfly layout
+            # (poly symmetry); non-symmetric k=1 codes fall back to the
+            # scan path, which handles them.
             self.use_kernel = (self.spec.num_states >= 64
                                and self.spec.k == 1
+                               and self.spec.has_poly_symmetry
                                and self.traceback_len <= 64)
         if self.use_kernel and self.traceback_len > 64:
             raise ValueError("kernel streaming supports traceback_len <= 64")
@@ -516,6 +520,14 @@ class BlockStreamingDecoderBatch:
         self._tile = (acs_swar.SWAR_TILE16 if self._mode == "soft16"
                       else acs_swar.SWAR_TILE)
         la = spec.traceback_len if lookahead is None else int(lookahead)
+        if la <= spec.S:
+            # Same invariant the per-step streaming path enforces
+            # (W > S): with no kept lookahead the termination steps
+            # would stream out as message bits and the final flush has
+            # nothing left to decode.
+            raise ValueError(f"lookahead must exceed S={spec.S} "
+                             f"(5K = {spec.traceback_len} is the "
+                             f"standard choice); got {la}")
         self._keep = -(-la // CHUNK_F)    # kept lookahead, whole chunks
         self._chunk = CHUNK_F
         self.reset()

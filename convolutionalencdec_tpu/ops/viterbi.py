@@ -274,13 +274,21 @@ def viterbi_decode_ragged(spec: CodeSpec, segments, seg_lengths):
         decisions, _ = jax.vmap(
             lambda s: viterbi_forward(spec, hard_step_metrics(spec, s))
         )(segments)
+    return ragged_epilogue(spec, decisions, lens, T)
+
+
+def ragged_epilogue(spec: CodeSpec, decisions, lens, T: int):
+    """Shared tail of the ragged decoders (hard here, soft in
+    ops/metrics.py): zero decisions past each row's length (the
+    decision-0 fixed point walks padded steps in place), run the
+    terminated traceback, then zero the termination symbols and
+    everything beyond — only the first (t_b - S)*k positions are
+    message bits (viterbiDecoder.c:206-210's pad stripping, per
+    channel)."""
     live = jnp.arange(T, dtype=jnp.int32)[None, :] < lens[:, None]
     decisions = decisions * live[:, :, None].astype(jnp.uint8)
     bits = jax.vmap(
         lambda d: traceback_terminated(spec, d, num_pad=0))(decisions)
-    # Zero the termination symbols (decoded tail of each survivor path)
-    # and everything beyond: only the first (t_b - S)*k positions are
-    # message bits (viterbiDecoder.c:206-210's pad stripping, per channel).
     pos = jnp.arange(T * spec.k, dtype=jnp.int32)
     msg_live = pos[None, :] < (lens[:, None] - spec.S) * spec.k
     bits = bits * msg_live.astype(jnp.uint8)

@@ -244,3 +244,25 @@ def test_segmented_tb_e2e():
         assert bool(crc_check(CRC24B, dec))
         out.append(dec)
     np.testing.assert_array_equal(lte.desegment_tb(out, F), tb)
+
+
+def test_single_block_decode_honors_use_kernel():
+    """1-D input routes through the same batched code paths, so
+    use_kernel/interpret are honored (code-review round 4): the kernel
+    result for a single block equals the batched kernel row AND the
+    scan result decodes the message."""
+    rng = np.random.default_rng(17)
+    L = 40
+    bits = rng.integers(0, 2, L, dtype=np.uint8)
+    E = 3 * (L + 4)
+    tx = np.asarray(lte.lte_turbo_encode(bits, E))
+    q = ((1 - 2 * tx.astype(np.int32)) * 6).astype(np.int32)
+    kb, kl = lte.lte_turbo_decode(q, L, n_iters=2, use_kernel=True,
+                                  interpret=True)
+    bb, bl = lte.lte_turbo_decode(q[None], L, n_iters=2, use_kernel=True,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(kl), np.asarray(bl)[0])
+    np.testing.assert_array_equal(np.asarray(kb), np.asarray(bb)[0])
+    sb, _ = lte.lte_turbo_decode(q, L, n_iters=2, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(sb), bits)
+    np.testing.assert_array_equal(np.asarray(kb), bits)

@@ -141,3 +141,23 @@ def test_maxlogmap_erasures_zero_llr():
     q = np.zeros((T, TOY_K3.n), np.int32)
     llrs = np.asarray(maxlogmap_llrs(TOY_K3, q))[:20]
     np.testing.assert_array_equal(llrs, 0)
+
+
+def test_maxlogmap_decode_unterminated_keeps_all_bits():
+    """terminated=False has no termination steps to strip: all T*k
+    positions are message bits (code-review round 4)."""
+    import numpy as np
+    from convolutionalencdec_tpu import NASA_K7, encode_bits
+    from convolutionalencdec_tpu.ops.maxlogmap import maxlogmap_decode
+    from convolutionalencdec_tpu.ops.metrics import hard_bits_to_qllrs
+
+    rng = np.random.default_rng(3)
+    msgs = rng.integers(0, 2, 96, dtype=np.uint8)
+    coded, _ = encode_bits(NASA_K7, msgs, terminate=False)
+    from convolutionalencdec_tpu.ops.channel import segments_to_bits
+    q = np.asarray(hard_bits_to_qllrs(
+        np.asarray(segments_to_bits(coded, NASA_K7.n)))).reshape(
+            -1, NASA_K7.n).astype(np.int8)
+    out = np.asarray(maxlogmap_decode(NASA_K7, q, terminated=False))
+    assert out.shape == (96,)
+    np.testing.assert_array_equal(out, msgs)   # clean channel

@@ -286,3 +286,38 @@ def test_block_streaming_rate13_dense_renorm():
         [np.asarray(dec.decode(coded[:, :120])),
          np.asarray(dec.decode(coded[:, 120:], last=True))], axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_auto_fallback_non_poly_symmetric():
+    """A valid k=1 NS=64 code WITHOUT poly symmetry must auto-route to
+    the scan path (the register-exchange kernel needs the butterfly
+    layout) instead of crashing mid-decode (code-review round 4)."""
+    import convolutionalencdec_tpu as fec
+    from convolutionalencdec_tpu.ops.streaming import StreamingDecoderBatch
+    from convolutionalencdec_tpu.ops.viterbi import viterbi_decode_stream
+
+    spec = fec.CodeSpec(K=7, k=1, g=(0o134, 0o171))
+    assert not spec.has_poly_symmetry
+    rng = np.random.default_rng(5)
+    msgs = rng.integers(0, 2, (4, 256), dtype=np.uint8)
+    coded = np.asarray(fec.encode_bits(spec, msgs)[0])
+    dec = StreamingDecoderBatch(spec, batch=4)
+    assert not dec.use_kernel
+    out = np.concatenate(
+        [np.asarray(dec.decode(coded[:, :128])),
+         np.asarray(dec.decode(coded[:, 128:], last=True))], axis=1)
+    want = np.stack([np.asarray(viterbi_decode_stream(spec, c))
+                     for c in coded])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_block_streaming_rejects_tiny_lookahead():
+    """lookahead <= S would emit termination steps as data and break
+    the final flush — rejected up front (code-review round 4)."""
+    import convolutionalencdec_tpu as fec
+    from convolutionalencdec_tpu.ops.streaming import (
+        BlockStreamingDecoderBatch)
+    with pytest.raises(ValueError, match="lookahead"):
+        BlockStreamingDecoderBatch(fec.NASA_K7, batch=4, lookahead=0)
+    with pytest.raises(ValueError, match="lookahead"):
+        BlockStreamingDecoderBatch(fec.NASA_K7, batch=4, lookahead=6)
