@@ -439,6 +439,9 @@ def lte_turbo_encode(bits: np.ndarray, E: int, rv: int = 0,
     return np.asarray(rate_match_turbo(d, E, rv, Ncb, F), np.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "L", "crc", "rv", "max_iters", "rsc", "Ncb", "qmax", "F",
+    "interpret"))
 def lte_turbo_decode_early(llrs, L: int, crc=None, rv: int = 0,
                            max_iters: int = 8, rsc: RscSpec = RscSpec(),
                            Ncb: int | None = None, qmax: int | None = 31,
@@ -488,13 +491,19 @@ def lte_turbo_encode_batch(bits, E: int, rv: int = 0,
     return rate_match_turbo(d, E, rv, Ncb, F).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "L", "rv", "n_iters", "rsc", "Ncb", "qmax", "F", "use_kernel",
+    "interpret"))
 def lte_turbo_decode(llrs, L: int, rv: int = 0, n_iters: int = 6,
                      rsc: RscSpec = RscSpec(), Ncb: int | None = None,
                      qmax: int | None = 31, F: int = 0,
                      use_kernel: bool = False, interpret: bool = False):
     """Decode E received LLRs (positive favors 0) back to L bits.
 
-    One jitted program: scatter-add de-rate-matching (chase combining),
+    One jitted program (the whole chain is ONE dispatch per call —
+    eager glue between the jitted pieces measured ~30 ms/call through
+    the dispatch tunnel, dwarfing the device time):
+    scatter-add de-rate-matching (chase combining),
     tail demultiplex, iterative max-log-MAP.  Batched when `llrs` has a
     leading batch axis.  Returns (bits [..., L], a-posteriori LLRs).
 
