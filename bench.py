@@ -40,7 +40,19 @@ def main():
     coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
     flip = rng.random(coded.shape) < 0.03
     coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
+    # Pre-stage a ring of DISTINCT input buffers (row-rotations of the
+    # working set) and cycle through them: the axon tunnel dedupes
+    # identical executions (docs/ROOFLINE.md §6), so timing one buffer
+    # in a loop risks measuring cache hits.  The current number was
+    # cross-checked against profiler device truth (~397 us/call byte
+    # path ≈ the 411 us/call this wall implies), but unique inputs make
+    # the methodology robust by construction.  Same bytes decoded per
+    # call either way.
+    NBUF = 8
     coded_dev = jax.device_put(jnp.asarray(coded))
+    bufs = [coded_dev] + [
+        jax.device_put(jnp.asarray(np.roll(coded, r + 1, axis=0)))
+        for r in range(NBUF - 1)]
 
     if on_tpu:
         # Decode to PACKED BYTES — the reference's speedDecode times
@@ -69,8 +81,8 @@ def main():
     iters = 2
     while True:
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = decode(coded_dev)
+        for i in range(iters):
+            out = decode(bufs[i % NBUF])
         out.block_until_ready()
         dt = time.perf_counter() - t0
         if dt > 3.0:
@@ -81,8 +93,8 @@ def main():
     # window is the steady-state device rate.
     for _ in range(2):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = decode(coded_dev)
+        for i in range(iters):
+            out = decode(bufs[i % NBUF])
         out.block_until_ready()
         dt = min(dt, time.perf_counter() - t0)
 
@@ -92,8 +104,8 @@ def main():
         from convolutionalencdec_tpu.utils import traffic_report
         trace_dir = "/tmp/fec_trace"
         jax.profiler.start_trace(trace_dir)
-        for _ in range(8):
-            out = decode(coded_dev)
+        for i in range(8):
+            out = decode(bufs[i % NBUF])
         out.block_until_ready()
         jax.profiler.stop_trace()
         print(traffic_report(spec, B, L + spec.S), file=sys.stderr)

@@ -24,10 +24,20 @@ _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
+def _build(src: str, so: str) -> None:
+    """THE build recipe (also what the Makefile's native target runs):
+    honors CXX/CXXFLAGS env overrides so an mtime-triggered rebuild
+    uses the same compiler the user built with."""
+    cxx = os.environ.get("CXX", "g++")
+    flags = os.environ.get("CXXFLAGS", "-O2").split()
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+        [cxx, *flags, "-shared", "-fPIC", "-std=c++17", src, "-o", so],
         check=True, capture_output=True)
+
+
+def _stale(src: str, so: str) -> bool:
+    return (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src))
 
 
 def get_lib() -> ctypes.CDLL:
@@ -36,9 +46,8 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
+        if _stale(_SRC, _SO):
+            _build(_SRC, _SO)
         lib = ctypes.CDLL(_SO)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u64p = ctypes.POINTER(ctypes.c_uint64)
@@ -113,12 +122,8 @@ def get_turbo_lib() -> ctypes.CDLL:
     with _lock:
         if _tlib is not None:
             return _tlib
-        if (not os.path.exists(_TSO)
-                or os.path.getmtime(_TSO) < os.path.getmtime(_TSRC)):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                 _TSRC, "-o", _TSO],
-                check=True, capture_output=True)
+        if _stale(_TSRC, _TSO):
+            _build(_TSRC, _TSO)
         lib = ctypes.CDLL(_TSO)
         lib.turbo_oracle_encode.restype = None
         lib.turbo_oracle_encode.argtypes = [
