@@ -71,7 +71,13 @@ def test_streaming_decode_bytes_carry_k3():
     got = np.concatenate(outs)
     want_bits = np.asarray(viterbi_decode_stream(spec, coded))
     np.testing.assert_array_equal(got, pack_bits_np(want_bits))
-    # mid-stream chunks emit only complete bytes
+    # mid-stream chunks emit only COMPLETE bytes: after consuming t
+    # segments the stream has emitted (t - W)*k bits (W-step decode
+    # delay), and the byte API must hold back the partial byte — so the
+    # non-last chunks together emit exactly floor(emitted_bits / 8)
+    # bytes, not a zero-padded partial.
+    emitted_bits = max(0, cuts[-2] - spec.traceback_len) * spec.k
+    assert sum(o.size for o in outs[:-1]) == emitted_bits // 8
     assert all(o.dtype == np.uint8 for o in outs)
 
 

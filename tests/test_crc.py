@@ -192,13 +192,14 @@ def test_bler_curve_tbcc_smoke():
 
 def test_punctured_tbcc_crc_one_call():
     # One-call LTE-style chain == manual depuncture + CRC-list decode,
-    # and it recovers clean blocks end-to-end at rate 3/4.
+    # and it recovers clean blocks end-to-end at rate 1/2 (keep 4 of 6
+    # coded bits of the rate-1/3 mother code, LTE-rate-matching style).
     spec, crc = fec.LTE_TBCC_K7, CRC8_LTE
     from convolutionalencdec_tpu.ops.puncture import (
         puncture_bits, depuncture_llrs)
-    # n=3 pattern (rows = generators): keep 4 of 6 -> rate 1/2 from the
-    # rate-1/3 mother code, LTE-rate-matching style.
-    PUNCTURE_2_3 = ((1, 1), (1, 0), (1, 0))
+    # local n=3 pattern (rows = generators) — distinct from the
+    # library's n=2 PUNCTURE_HALF preset.
+    PUNCTURE_HALF = ((1, 1), (1, 0), (1, 0))
     from convolutionalencdec_tpu.ops.channel import segments_to_bits
     from convolutionalencdec_tpu.kernels import (
         viterbi_decode_batch_tailbiting_crc_soft,
@@ -209,13 +210,13 @@ def test_punctured_tbcc_crc_one_call():
     msgs = np.asarray(crc_append(crc, payload))
     coded = np.asarray(fec.encode_tailbiting(spec, msgs))
     cbits = np.asarray(segments_to_bits(coded, spec.n))
-    tx = np.asarray(puncture_bits(cbits, PUNCTURE_2_3, L))
+    tx = np.asarray(puncture_bits(cbits, PUNCTURE_HALF, L))
     # light noise on the transmitted bits
     flip = rng.random(tx.shape) < 0.01
     rx = (1 - 2 * (tx ^ flip).astype(np.int8)) * 5
     one = viterbi_decode_batch_tailbiting_punctured_crc(
-        spec, crc, rx, PUNCTURE_2_3, L, 4, None, True)
-    q = np.asarray(depuncture_llrs(rx, PUNCTURE_2_3, L)).reshape(B, L, spec.n)
+        spec, crc, rx, PUNCTURE_HALF, L, 4, None, True)
+    q = np.asarray(depuncture_llrs(rx, PUNCTURE_HALF, L)).reshape(B, L, spec.n)
     two = viterbi_decode_batch_tailbiting_crc_soft(spec, crc, q, 4,
                                                    None, True)
     for a, b in zip(one, two):

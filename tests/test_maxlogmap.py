@@ -146,9 +146,6 @@ def test_maxlogmap_erasures_zero_llr():
 def test_maxlogmap_decode_unterminated_keeps_all_bits():
     """terminated=False has no termination steps to strip: all T*k
     positions are message bits (code-review round 4)."""
-    import numpy as np
-    from convolutionalencdec_tpu import NASA_K7, encode_bits
-    from convolutionalencdec_tpu.ops.maxlogmap import maxlogmap_decode
     from convolutionalencdec_tpu.ops.metrics import hard_bits_to_qllrs
 
     rng = np.random.default_rng(3)

@@ -48,7 +48,7 @@ def test_streaming_decoder_two_packets():
     spec = NASA_K7
     rng = np.random.default_rng(47)
     dec = StreamingDecoder(spec)
-    for seed in (1, 2):
+    for _ in range(2):
         msg = rng.integers(0, 2, 256, dtype=np.uint8)
         coded = np.asarray(encode_bits(spec, msg)[0])
         out = dec.decode(coded, last=True)

@@ -7,6 +7,7 @@ the report renders one row per dispatchable mode.
 """
 
 import pytest
+import re
 
 from convolutionalencdec_tpu.params import NASA_K7, TOY_K3
 from convolutionalencdec_tpu.utils import (ThroughputMeter, describe,
@@ -45,9 +46,14 @@ def test_kernel_traffic_stream_no_decision_roundtrip():
 
 
 def test_kernel_traffic_k_scaling():
-    # k=1 decodes 1 bit/step; decoded_bits must scale with k.
-    r = kernel_traffic(TOY_K3, 256, 256, "block_int32")
-    assert r["decoded_bits"] == (256 - TOY_K3.S) * 256 * TOY_K3.k
+    # decoded_bits must scale with k — use a k=2 spec so a dropped k
+    # factor actually fails (TOY_K3 has k=1, which can't detect it).
+    from convolutionalencdec_tpu.params import CodeSpec
+    k2 = CodeSpec(K=3, k=2, g=(0o17, 0o06, 0o13))
+    r = kernel_traffic(k2, 256, 256, "block_int32")
+    assert r["decoded_bits"] == (256 - k2.S) * 256 * 2
+    r1 = kernel_traffic(TOY_K3, 256, 256, "block_int32")
+    assert r1["decoded_bits"] == (256 - TOY_K3.S) * 256
 
 
 def test_kernel_traffic_ragged_mask_overhead():
@@ -70,7 +76,9 @@ def test_traffic_report_renders_all_modes():
     text = traffic_report(NASA_K7, 2048, 2054)
     for mode in ("block", "block_int32", "block_soft", "ragged",
                  "stream"):
-        assert mode in text
+        # row-anchored: a bare substring check would let "block" ride
+        # on the "block_int32" row's text.
+        assert re.search(rf"^\s*{mode}\b", text, re.M), mode
 
 
 def test_throughput_meter_accumulates():

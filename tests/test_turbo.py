@@ -140,7 +140,6 @@ def test_maxlogmap_matches_bruteforce_exactly():
     l_apr = rng.integers(-5, 6, L).astype(np.int32)
     l_st = rng.integers(-9, 10, 3).astype(np.int32)
     l_pt = rng.integers(-9, 10, 3).astype(np.int32)
-    costs = np.zeros((2, L), np.int64)
     best = {0: {}, 1: {}}
     for m in range(1 << L):
         bits = np.array([(m >> i) & 1 for i in range(L)], np.uint8)

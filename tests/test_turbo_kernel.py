@@ -93,7 +93,6 @@ def test_turbo_kernel_supported_gate():
 def test_early_termination_crc():
     """CRC-gated early exit: clean batch stops after one iteration with
     every block latched correct; noisy batch never false-accepts."""
-    from convolutionalencdec_tpu.ops import lte
     from convolutionalencdec_tpu.ops.crc import CRC24B, crc_append
     rng = np.random.default_rng(41)
     B, L = 8, 40
