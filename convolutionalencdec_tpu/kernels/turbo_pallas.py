@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.turbo import RscSpec, _parity_bits, rsc_tables
+from ..ops.turbo import LA_CLAMP, RscSpec, _parity_bits, rsc_tables
 
 #: Lanes (code blocks) per program (2 lane tiles — measured ~10% faster
 #: than 128 on chip; 512 adds nothing).
@@ -57,8 +57,19 @@ TB_TILE = 256
 #: Emit-group length: cross-sublane LLR reductions once per PACK steps.
 PACK_T = 8
 
-#: Exclusion constant.  Finite path-metric spreads stay < 2^20 under
-#: per-8-step renorm, and 3 * BIG_T fits int32 with headroom.
+#: Exclusion constant.  Margin PROOF (with the exchange's LA_CLAMP):
+#: per-step |bm| <= |l_sys + l_apriori| + |l_par| <= 2^17 + O(qmax)
+#: < 2^18 =: mb.  The 2-regular trellis mixes fully in S = 3 steps, so
+#: finite alpha/beta SPREADS are <= 2*S*mb = 6 mb unconditionally;
+#: renorm (a shift, every PACK_T = 8 steps) re-zeros the min, which
+#: then drifts by <= mb/step, so between renorms alpha ∈ [-7mb, 13mb]
+#: and likewise beta.  Emit values v = alpha + bm + beta ∈
+#: [-15mb, 27mb]; a masked (excluded) entry is >= BIG_T - 15mb, so
+#: exclusion is exact iff 42 mb < BIG_T — satisfied at mb = 2^18 with
+#: 1.5x margin (42 * 2^18 = 11.0M < 16.8M).  Boundary "impossible"
+#: states carry ~BIG_T and at most ~2*BIG_T + 3mb after masking —
+#: far inside int32.  tests/test_turbo_kernel.py pins the bound with a
+#: clamp-magnitude bit-exactness case.
 BIG_T = 1 << 24
 
 
@@ -334,12 +345,16 @@ def _make_one_iter(rsc, l_sys, l_par1, l_par2, l_sys_tail1, l_par_tail1,
         lapp1 = rsc_maxlogmap_batch_kernel(
             rsc, l_sys, l_par1, la1, l_sys_tail1, l_par_tail1, interpret)
         le1 = lapp1 - l_sys - la1
-        la2 = (3 * jnp.take(le1, pi, axis=1)) // 4
+        # +/- LA_CLAMP on the exchanged a-priori (same in the scan and
+        # the C++ oracle) guarantees the BIG_T exclusion margin below.
+        la2 = jnp.clip((3 * jnp.take(le1, pi, axis=1)) // 4,
+                       -LA_CLAMP, LA_CLAMP)
         lapp2 = rsc_maxlogmap_batch_kernel(
             rsc, l_sys_i, l_par2, la2, l_sys_tail2, l_par_tail2,
             interpret)
         le2 = lapp2 - l_sys_i - la2
-        la1n = jnp.take((3 * le2) // 4, inv, axis=1)
+        la1n = jnp.clip(jnp.take((3 * le2) // 4, inv, axis=1),
+                        -LA_CLAMP, LA_CLAMP)
         return la1n, jnp.take(lapp2, inv, axis=1)
 
     return one_iter

@@ -107,6 +107,15 @@ int64_t floor_div4(int64_t x) {  // floor(x / 4), Python // semantics
   return (x >= 0) ? x / 4 : -(((-x) + 3) / 4);
 }
 
+// A-priori clamp on the extrinsic exchange — part of the algorithm
+// (ops/turbo.py LA_CLAMP, mirrored by the Pallas kernels): bounds the
+// branch metrics so the TPU kernel's int32 exclusion margin is proven.
+constexpr int64_t kLaClamp = 1ll << 17;
+
+int64_t clamp_la(int64_t x) {
+  return x > kLaClamp ? kLaClamp : (x < -kLaClamp ? -kLaClamp : x);
+}
+
 // One constituent max-log-MAP pass: full alpha/beta arrays, tail steps
 // with channel-only metrics, state-0 anchors both ends.
 void map_pass(const Trellis& tr, int S, const int64_t* lu,
@@ -173,13 +182,13 @@ void turbo_decode_impl(const RscOracle& c, int L, const int32_t* perm,
     map_pass(tr, S, lu1.data(), lp1.data(), t1.data(), L, lapp1.data());
     for (int t = 0; t < L; ++t)
       le[t] = lapp1[t] - (int64_t)l_sys[t] - la1[t];
-    for (int t = 0; t < L; ++t) la2[t] = floor_div4(3 * le[perm[t]]);
+    for (int t = 0; t < L; ++t) la2[t] = clamp_la(floor_div4(3 * le[perm[t]]));
     for (int t = 0; t < L; ++t)
       lu2[t] = (int64_t)l_sys[perm[t]] + la2[t];
     map_pass(tr, S, lu2.data(), lp2.data(), t2.data(), L, lapp2.data());
     for (int t = 0; t < L; ++t)
       le[t] = lapp2[t] - (int64_t)l_sys[perm[t]] - la2[t];
-    for (int t = 0; t < L; ++t) la1[perm[t]] = floor_div4(3 * le[t]);
+    for (int t = 0; t < L; ++t) la1[perm[t]] = clamp_la(floor_div4(3 * le[t]));
   }
   // de-interleave the final a-posteriori
   for (int t = 0; t < L; ++t) out[perm[t]] = lapp2[t] < 0 ? 1 : 0;

@@ -463,6 +463,14 @@ def lte_turbo_decode_early(llrs, L: int, crc=None, rv: int = 0,
     from .crc import CRC24B
     from ..kernels.turbo_pallas import turbo_decode_batch_kernel_early
     crc = crc or CRC24B
+    if jnp.ndim(llrs) == 1:
+        # Single block: batch-of-1 through the same code path (the
+        # kernel is batch-only), mirroring lte_turbo_decode.
+        bits, lapp, ok, iters = lte_turbo_decode_early(
+            jnp.asarray(llrs)[None], L, crc=crc, rv=rv,
+            max_iters=max_iters, rsc=rsc, Ncb=Ncb, qmax=qmax, F=F,
+            interpret=interpret)
+        return bits[0], lapp[0], ok[0], iters
     filler = 0 if qmax is None else qmax
     d = derate_match_turbo(llrs, L + 4, rv, Ncb, F=F, qmax=qmax,
                            filler_llr=filler)

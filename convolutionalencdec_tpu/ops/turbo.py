@@ -37,6 +37,22 @@ from .bits import parity32_np
 #: Exclusion constant, same role as ops.maxlogmap.BIG.
 BIG = 1 << 28
 
+#: A-priori LLR clamp applied to the extrinsic exchange (all three
+#: implementations: this scan, kernels/turbo_pallas, and the C++
+#: oracle).  Bounds the max-log branch metrics so the kernel's
+#: BIG_T = 2^24 exclusion margin is PROVEN, not assumed: with
+#: |l_apriori| <= 2^17 and the exchange's channel LLRs (|q| <= qmax,
+#: plus filler boosts), per-step |bm| <= |l_sys + l_apriori| + |l_par|
+#: stays < 2^18, and the emit-group values range over < 42*|bm|_max
+#: < BIG_T (see kernels/turbo_pallas.py BIG_T note for the derivation).
+#: Without a clamp the adversarial worst case grows geometrically per
+#: iteration (|le| <= ~15 |la| + O(channel)).  At operating magnitudes
+#: (qmax = 31 channel LLRs) measured a-priori magnitudes peak ~200 at
+#: L = 6144 over 8 iterations — ~3 orders below the clamp — so it
+#: never binds in normal service and campaign statistics are
+#: untouched.
+LA_CLAMP = 1 << 17
+
 
 @dataclasses.dataclass(frozen=True)
 class RscSpec:
@@ -488,7 +504,9 @@ def turbo_decode(rsc: RscSpec, l_sys, l_par1, l_par2,
 
     Max-log extrinsic is scaled by 3/4 (integer >> with rounding) —
     the standard correction for the max-log approximation's
-    overconfidence.
+    overconfidence — and the exchanged a-priori is clamped to
+    +/- `LA_CLAMP` (part of the algorithm, implemented identically by
+    the Pallas kernels and the C++ oracle; see the `LA_CLAMP` note).
     """
     pi = jnp.asarray(np.asarray(perm, np.int32))
     l_sys = jnp.asarray(l_sys, jnp.int32)
@@ -500,11 +518,12 @@ def turbo_decode(rsc: RscSpec, l_sys, l_par1, l_par2,
         lapp1 = rsc_maxlogmap(rsc, l_sys, l_par1, la1,
                               l_sys_tail1, l_par_tail1)
         le1 = lapp1 - l_sys - la1
-        la2 = (3 * le1[pi]) // 4
+        la2 = jnp.clip((3 * le1[pi]) // 4, -LA_CLAMP, LA_CLAMP)
         lapp2 = rsc_maxlogmap(rsc, l_sys_i, l_par2, la2,
                               l_sys_tail2, l_par_tail2)
         le2 = lapp2 - l_sys_i - la2
-        la1 = jnp.zeros((L,), jnp.int32).at[pi].set((3 * le2) // 4)
+        la1 = jnp.zeros((L,), jnp.int32).at[pi].set(
+            jnp.clip((3 * le2) // 4, -LA_CLAMP, LA_CLAMP))
     lapp = jnp.zeros((L,), jnp.int32).at[pi].set(lapp2)
     return (lapp < 0).astype(jnp.uint8), lapp
 

@@ -254,7 +254,8 @@ def turbo_decode_sharded(llrs, L: int, mesh: Mesh, *, rv: int = 0,
     communication, linear scaling.
 
     Args:
-      llrs: int32 [B, E] received LLRs; B must divide the mesh size.
+      llrs: int32 [B, E] received LLRs; B must be divisible by the
+        total mesh size.
     Returns:
       uint8 [B, L] decoded bits.
     """

@@ -54,6 +54,29 @@ def test_rsc_map_kernel_large_apriori_magnitudes():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_rsc_map_kernel_at_clamp_contract():
+    """Pin the BIG_T exclusion headroom at the documented contract
+    boundary: a-priori at the full +/- LA_CLAMP exchange bound (the
+    largest magnitude `_make_one_iter` can ever feed the kernel) plus
+    generous channel LLRs must stay bit-exact vs the scan — the
+    worst-case-magnitude case behind the kernels' BIG_T margin proof."""
+    from convolutionalencdec_tpu.ops.turbo import LA_CLAMP
+    rng = np.random.default_rng(2024)
+    B, L = 3, 104
+    l_sys = rng.integers(-8192, 8193, (B, L)).astype(np.int32)
+    l_par = rng.integers(-8192, 8193, (B, L)).astype(np.int32)
+    l_apr = rng.integers(-LA_CLAMP, LA_CLAMP + 1, (B, L)).astype(np.int32)
+    l_apr[:, ::7] = LA_CLAMP            # exact bound, alternating sign
+    l_apr[:, 3::7] = -LA_CLAMP
+    l_st = rng.integers(-8192, 8193, (B, RSC.S)).astype(np.int32)
+    l_pt = rng.integers(-8192, 8193, (B, RSC.S)).astype(np.int32)
+    want = jax.vmap(lambda a, b, c, d, e: rsc_maxlogmap(
+        RSC, a, b, c, d, e))(l_sys, l_par, l_apr, l_st, l_pt)
+    got = rsc_maxlogmap_batch_kernel(RSC, l_sys, l_par, l_apr,
+                                     l_st, l_pt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_turbo_decode_kernel_bitexact_vs_scan():
     rng = np.random.default_rng(7)
     B, L = 4, 40
@@ -115,3 +138,26 @@ def test_early_termination_crc():
     bad = (np.asarray(bits) != msgs).any(1)
     assert not (ok & bad).any()
     assert 1 <= int(iters) <= 4
+
+
+def test_early_termination_1d_promotion():
+    """A 1-D llrs input promotes to a batch of one (mirroring
+    lte_turbo_decode) instead of failing inside the batch-only kernel."""
+    from convolutionalencdec_tpu.ops.crc import CRC24B, crc_append
+    rng = np.random.default_rng(43)
+    L = 40
+    payload = rng.integers(0, 2, L - 24, dtype=np.uint8)
+    msg = np.asarray(crc_append(CRC24B, payload))
+    E = 3 * (L + 4)
+    tx = np.asarray(lte.lte_turbo_encode_batch(msg[None], E))[0]
+    q = ((1 - 2 * tx.astype(np.int32)) * 8).astype(np.int32)
+    bits, lapp, ok, iters = lte.lte_turbo_decode_early(q, L,
+                                                       interpret=True)
+    assert bits.shape == (L,) and lapp.shape == (L,) and ok.shape == ()
+    assert bool(ok) and int(iters) == 1
+    np.testing.assert_array_equal(np.asarray(bits), msg)
+    bb, ll, bok, _ = lte.lte_turbo_decode_early(q[None], L,
+                                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(bb)[0], np.asarray(bits))
+    np.testing.assert_array_equal(np.asarray(ll)[0], np.asarray(lapp))
+    assert bool(np.asarray(bok)[0]) == bool(ok)

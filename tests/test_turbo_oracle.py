@@ -47,6 +47,37 @@ def test_oracle_decode_bit_identical_to_jax():
         np.testing.assert_array_equal(ob, np.asarray(jb))
 
 
+def test_oracle_decode_clamp_binding_bit_identical():
+    """LA_CLAMP is part of the algorithm: at LLR magnitudes large
+    enough that the extrinsic exchange actually saturates the clamp,
+    the C++ oracle and the JAX scan must still agree bit-for-bit."""
+    from convolutionalencdec_tpu.ops.turbo import (
+        LA_CLAMP, rsc_maxlogmap)
+    rng = np.random.default_rng(17)
+    L = 104
+    pi = qpp_interleaver(L)
+    bits = rng.integers(0, 2, L, dtype=np.uint8)
+    enc = turbo_encode_np(RSC, bits, pi)
+
+    def llr(b):
+        x = (1 - 2 * b.astype(np.int32)) * 50000
+        fl = rng.random(b.shape) < 0.08
+        return np.where(fl, -x, x).astype(np.int32)
+
+    args = [llr(enc["sys"]), llr(enc["par1"]), llr(enc["par2"]),
+            llr(enc["sys_tail1"]), llr(enc["par_tail1"]),
+            llr(enc["sys_tail2"]), llr(enc["par_tail2"])]
+    # establish that this case BINDS: the first DEC1 pass's scaled
+    # extrinsic already exceeds the clamp somewhere
+    lapp1 = np.asarray(rsc_maxlogmap(
+        RSC, args[0], args[1], np.zeros(L, np.int32), args[3], args[4]))
+    le1 = lapp1 - args[0]
+    assert (np.abs(3 * le1 // 4) > LA_CLAMP).any()
+    ob = native.turbo_oracle_decode(RSC, *args, pi, n_iters=4)
+    jb, _ = turbo_decode(RSC, *args, tuple(int(p) for p in pi), 4)
+    np.testing.assert_array_equal(ob, np.asarray(jb))
+
+
 def test_oracle_campaign_sane():
     # small self-contained campaign: decoding gain over the raw channel
     pi = qpp_interleaver(104)
