@@ -26,6 +26,112 @@ import convolutionalencdec_tpu as fec  # noqa: E402
 
 BASELINE_MBPS = 23.5  # reference speedDecode on 1 vCPU (BASELINE.md)
 
+# The reference has no turbo codec; the single-core baseline for the
+# --turbo row is the repo's own independent C++ direct-form decoder
+# (native/turbo_oracle.cpp): measured 1.03 ms/block = 1.0 Mbit/s for
+# 6-iteration max-log decode at L=1024 on this box (g++ -O2).
+TURBO_BASELINE_MBPS = 1.0
+
+
+def turbo_main():
+    """Steady-state turbo serving bench (the bench.py methodology —
+    deep dispatch queue, unique-input buffer ring — applied to the
+    production receive chain, closing the wall-vs-device gap
+    CURVES_EARLYTERM_r04 showed at 37-49%).
+
+    Serving point: B=2048 blocks x L=1024 (CRC24B payloads), rate-1/2
+    at 2.0 dB, `lte_turbo_decode_early` (CRC-gated while_loop) with
+    serving outputs only (packed message bytes + ok + iters; the
+    [B, L] int32 lapp stays on device).  Prints ONE JSON line:
+    {"metric": "turbo_decode_throughput", ...} in decoded message
+    Mbit/s of wall time.
+    """
+    from convolutionalencdec_tpu.harness.curve import awgn
+    from convolutionalencdec_tpu.ops import lte
+    from convolutionalencdec_tpu.ops.channel import bpsk_llr, bpsk_modulate
+    from convolutionalencdec_tpu.ops.crc import CRC24B, crc_append
+    from convolutionalencdec_tpu.ops.metrics import quantize_llrs
+
+    B, L = 2048, 1024
+    E = 2 * (L + 4)
+    EBN0 = 2.0
+    rate = L / E
+    kmsg, kch = jax.random.split(jax.random.PRNGKey(9865))
+    payload = jax.random.bernoulli(kmsg, 0.5, (B, L - 24)).astype(jnp.uint8)
+    msgs = np.asarray(crc_append(CRC24B, payload))
+    tx = lte.lte_turbo_encode_batch(jnp.asarray(msgs), E)
+
+    def make_q(k):
+        rx = awgn(k, bpsk_modulate(tx), EBN0, rate)
+        return quantize_llrs(bpsk_llr(rx, EBN0, rate),
+                             qmax=31).astype(jnp.int32)
+
+    NBUF = 8
+    bufs = [jax.device_put(make_q(k)) for k in jax.random.split(kch, NBUF)]
+    # Every call gets a UNIQUE (buffer, rotation) pair: the tunnel
+    # dedupes identical executions (docs/ROOFLINE.md §6), and a ring
+    # alone is not enough at deep call counts — with 2048 calls over 8
+    # buffers the measured wall dropped BELOW the profiler device
+    # truth (3.55 vs 3.86 ms/call), the dedup signature.  The rotation
+    # is a device-side [B, E] gather, ~40 us against a ~3.9 ms call.
+    rolls = [jax.device_put(jnp.int32(r)) for r in range(B)]
+
+    pack_w = jnp.asarray((1 << np.arange(8)[::-1]).astype(np.uint8))
+
+    @jax.jit
+    def serve(q, r):
+        q = jnp.roll(q, r, axis=0)
+        bits, _, ok, iters = lte.lte_turbo_decode_early(q, L)
+        by = jnp.sum(bits.reshape(B, -1, 8) * pack_w, axis=-1,
+                     dtype=jnp.uint8)
+        return by, ok, iters
+
+    by, ok, iters = serve(bufs[0], rolls[0])
+    by.block_until_ready()
+    got = np.unpackbits(np.asarray(by), axis=1)[:, :L]
+    ok_np = np.asarray(ok)
+    wrong = (got != msgs).any(1)
+    assert not (ok_np & wrong).any(), "false accept in bench"
+    assert ok_np.mean() > 0.99, f"accept rate {ok_np.mean()} at 2 dB"
+
+    iters_n = 2
+    while True:
+        t0 = time.perf_counter()
+        for i in range(iters_n):
+            out = serve(bufs[i % NBUF], rolls[(i // NBUF) % B])
+        out[0].block_until_ready()
+        dt = time.perf_counter() - t0
+        if dt > 3.0:
+            break
+        iters_n *= 4
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters_n):
+            out = serve(bufs[i % NBUF], rolls[(i // NBUF) % B])
+        out[0].block_until_ready()
+        dt = min(dt, time.perf_counter() - t0)
+
+    if "--profile" in sys.argv:
+        trace_dir = "/tmp/fec_turbo_trace"
+        jax.profiler.start_trace(trace_dir)
+        for i in range(8):
+            out = serve(bufs[i % NBUF], rolls[i])
+        out[0].block_until_ready()
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+
+    mbps = B * L * iters_n / dt / 1e6
+    print(f"early-term at {EBN0} dB: iters={int(iters)} "
+          f"accept={ok_np.mean():.3f} "
+          f"wall {dt / iters_n * 1e3:.2f} ms/call over {iters_n} calls",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "turbo_decode_throughput",
+        "value": round(mbps, 2),
+        "unit": "Mbit/s",
+        "vs_baseline": round(mbps / TURBO_BASELINE_MBPS, 2),
+    }))
+
 
 def main():
     spec = fec.NASA_K7
@@ -122,4 +228,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--turbo" in sys.argv:
+        turbo_main()
+    else:
+        main()

@@ -376,13 +376,19 @@ def run_harq_ir_turbo(*, L: int = 1024, E: int | None = None,
 #: applied to the turbo chain: expected BER/BLER from the INDEPENDENT
 #: C++ implementation (native/turbo_oracle.cpp, its own mt19937 RNG;
 #: rate-1/3 E=3L+12, qmax=31 AGC quantizer, 6 max-log iterations with
-#: 3/4 extrinsic scaling, seed 9865; 20000 blocks at L=1024, 6000 at
-#: L=6144).  Keyed by (L, ebn0_db).
+#: 3/4 extrinsic scaling).  Keyed by (L, ebn0_db).  Waterfall points:
+#: seed 9865, 20000 blocks at L=1024 / 6000 at L=6144.  TAIL points
+#: ((1024, 1.0) and (6144, 0.7)) re-pinned in round 5 by converged
+#: campaigns with >= 1100 block-error events each (262,143 blocks at
+#: L=1024, 163,839 at L=6144; 3 seed-sharded runs, seeds 9865-9867;
+#: scripts/turbo_tail_campaign.py), so per-side BLER sampling error is
+#: ~3% and the 15% gate is meaningful at every gated point — matching
+#: the reference's converged-statistics discipline.
 TURBO_EXPECTED = {
     (1024, 0.5): {"ber": 1.6995e-2, "bler": 0.2997},
-    (1024, 1.0): {"ber": 1.1284e-4, "bler": 4.25e-3},
+    (1024, 1.0): {"ber": 1.0654e-4, "bler": 4.299e-3},
     (6144, 0.4): {"ber": 9.3565e-3, "bler": 0.6497},
-    (6144, 0.7): {"ber": 9.901e-6, "bler": 7.667e-3},
+    (6144, 0.7): {"ber": 7.901e-6, "bler": 6.824e-3},
 }
 
 
@@ -398,13 +404,20 @@ def run_turbo_acceptance(points=((1024, 0.5), (6144, 0.4)), *,
     berTestK7.c:167-172; the turbo gate defaults to 15% because block
     errors are burstier than bit errors).
 
+    `points` entries are (L, ebn0_db) or (L, ebn0_db, n_blocks) —
+    the 3-tuple form overrides `n_blocks` per point, sizing tail
+    points for enough error events (every gated point must carry
+    converged statistics, the berTestK7.c:95-100 discipline).
+
     Returns a list of dicts with a `passed` flag per point.
     """
     results = []
-    for L, ebn0 in points:
+    for point in points:
+        (L, ebn0), nb = point[:2], (point[2] if len(point) > 2
+                                    else n_blocks)
         exp = TURBO_EXPECTED[(L, ebn0)]
         pt = run_bler_curve_turbo(
-            ebn0_points=[ebn0], L=L, n_blocks=n_blocks, batch=batch,
+            ebn0_points=[ebn0], L=L, n_blocks=nb, batch=batch,
             n_iters=n_iters, seed=seed, use_kernel=use_kernel,
             interpret=interpret, verbose=False)[0]
         rel_ber = abs(pt["ber"] - exp["ber"]) / exp["ber"]
