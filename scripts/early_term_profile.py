@@ -3,11 +3,18 @@
 
 For each operating point: encode B CRC24B-carrying blocks, add AWGN,
 decode with the CRC-gated while_loop, and record iterations used,
-accept rate, false accepts, and wall Mbit/s (message bits decoded
-per second of steady-state wall clock, deep queue of unique-input
-calls — docs/ROOFLINE.md §6 cautions; the tunnel's ~2.7 ms/call
-dispatch still taxes the wall number, device truth is the profiler
-row).  Writes CURVES_EARLYTERM_r04.json.
+accept rate, false accepts, and wall Mbit/s.
+
+Methodology (round 5 — this is what closed the r4 wall-vs-device gap):
+the r4 profile timed a fixed 32-call window, which is dominated by the
+dispatch ramp; the wall column read 195-258 Mbit/s against ~520 Mbit/s
+device truth.  This version uses the bench.py discipline — escalate
+the call count until the timed window exceeds 2 s, best of 3 windows,
+and make every call a UNIQUE (buffer, rotation) pair so the tunnel
+cannot dedupe (docs/ROOFLINE.md §6).  Wall now tracks device truth
+(bench.py --turbo cross-check: 591 Mbit/s wall at 2 dB).
+
+Writes CURVES_EARLYTERM_r05.json.
 """
 import json
 import sys
@@ -30,7 +37,6 @@ E = 2 * (L + 4)          # rate ~1/2, the sweep row's operating shape
 MAX_ITERS = 8
 POINTS = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
 
-rng = np.random.default_rng(23)
 results = []
 for ebn0 in POINTS:
     rate = L / E
@@ -45,30 +51,41 @@ for ebn0 in POINTS:
         return quantize_llrs(bpsk_llr(rx, ebn0, rate),
                              qmax=31).astype(jnp.int32)
 
-    q_warm = jax.device_put(make_q(kch1))
-    bits, _, ok, iters = lte.lte_turbo_decode_early(
-        q_warm, L, max_iters=MAX_ITERS)
-    jax.block_until_ready(bits)
-
-    # Throughput: bench.py's deep-queue steady state over UNIQUE noise
-    # draws (dedup caution) — single-call walls through the tunnel are
-    # dispatch/sync-dominated and misleading.
+    NBUF = 8
     draws = [jax.device_put(make_q(k))
-             for k in jax.random.split(kch2, 8)]
-    outs = [lte.lte_turbo_decode_early(q, L, max_iters=MAX_ITERS)
-            for q in draws]
-    jax.block_until_ready(outs[-1][0])          # warm every trace path
-    t0 = time.perf_counter()
-    PASSES = 4
-    for _ in range(PASSES):
-        outs = [lte.lte_turbo_decode_early(q, L, max_iters=MAX_ITERS)
-                for q in draws]
-    for o in outs:
-        o[0].block_until_ready()
-    dt = time.perf_counter() - t0
-    calls = PASSES * len(draws)
+             for k in jax.random.split(kch2, NBUF)]
+    rolls = [jax.device_put(jnp.int32(r)) for r in range(256)]
 
-    bits, _, ok, iters = outs[0]
+    def _serve(q, r):
+        # rotation makes every (buffer, r) execution unique; serving
+        # outputs only (bits + flags) — lapp stays on device.
+        bits, _, ok, iters = lte.lte_turbo_decode_early(
+            jnp.roll(q, r, axis=0), L, max_iters=MAX_ITERS)
+        return bits, ok, iters
+
+    serve = jax.jit(_serve)
+
+    q_warm = draws[0]
+    bits, ok, iters = serve(q_warm, rolls[0])
+    bits.block_until_ready()
+
+    calls = 2
+    while True:
+        t0 = time.perf_counter()
+        for i in range(calls):
+            out = serve(draws[i % NBUF], rolls[(i // NBUF) % 256])
+        out[0].block_until_ready()
+        dt = time.perf_counter() - t0
+        if dt > 2.0:
+            break
+        calls *= 4
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(calls):
+            out = serve(draws[i % NBUF], rolls[(i // NBUF) % 256])
+        out[0].block_until_ready()
+        dt = min(dt, time.perf_counter() - t0)
+
     ok_np = np.asarray(ok)
     wrong = (np.asarray(bits) != msgs).any(1)
     point = {
@@ -79,11 +96,12 @@ for ebn0 in POINTS:
         "false_accepts": int((ok_np & wrong).sum()),
         "bler": float(wrong.mean()),
         "wall_mbit_s": round(B * L * calls / dt / 1e6, 1),
+        "calls_timed": calls,
         "blocks": B,
     }
     results.append(point)
     print(json.dumps(point), flush=True)
 
-with open("/root/repo/CURVES_EARLYTERM_r04.json", "w") as f:
+with open("/root/repo/CURVES_EARLYTERM_r05.json", "w") as f:
     json.dump(results, f, indent=1)
-print("wrote CURVES_EARLYTERM_r04.json")
+print("wrote CURVES_EARLYTERM_r05.json")
