@@ -76,15 +76,13 @@ def turbo_main():
     # is a device-side [B, E] gather, ~40 us against a ~3.9 ms call.
     rolls = [jax.device_put(jnp.int32(r)) for r in range(B)]
 
-    pack_w = jnp.asarray((1 << np.arange(8)[::-1]).astype(np.uint8))
+    from convolutionalencdec_tpu.ops.bits import pack_bits
 
     @jax.jit
     def serve(q, r):
         q = jnp.roll(q, r, axis=0)
         bits, _, ok, iters = lte.lte_turbo_decode_early(q, L)
-        by = jnp.sum(bits.reshape(B, -1, 8) * pack_w, axis=-1,
-                     dtype=jnp.uint8)
-        return by, ok, iters
+        return pack_bits(bits), ok, iters
 
     by, ok, iters = serve(bufs[0], rolls[0])
     by.block_until_ready()
@@ -101,7 +99,10 @@ def turbo_main():
             out = serve(bufs[i % NBUF], rolls[(i // NBUF) % B])
         out[0].block_until_ready()
         dt = time.perf_counter() - t0
-        if dt > 3.0:
+        # never escalate past the unique (buffer, rotation) pool —
+        # beyond NBUF * B pairs executions repeat and the tunnel's
+        # dedup would inflate the metric
+        if dt > 3.0 or iters_n * 4 > NBUF * B:
             break
         iters_n *= 4
     for _ in range(2):

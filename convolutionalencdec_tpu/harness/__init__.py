@@ -8,6 +8,7 @@ from .ber import (
     ber_sweep,
     run_reference_ber_test,
 )
+from .bounds import bound_curve, distance_spectrum, union_bound_ber
 from .curve import (TURBO_EXPECTED, run_bler_curve_tbcc,
                     run_bler_curve_turbo, run_curve, run_harq_ir_turbo,
                     run_turbo_acceptance)
@@ -17,10 +18,13 @@ __all__ = [
     "TURBO_EXPECTED",
     "ber_point",
     "ber_sweep",
+    "bound_curve",
+    "distance_spectrum",
     "run_reference_ber_test",
     "run_bler_curve_tbcc",
     "run_bler_curve_turbo",
     "run_curve",
     "run_harq_ir_turbo",
     "run_turbo_acceptance",
+    "union_bound_ber",
 ]

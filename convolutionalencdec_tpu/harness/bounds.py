@@ -34,8 +34,10 @@ from ..ops.trellis import edge_coded_bits, next_state_table
 
 
 @functools.lru_cache(maxsize=None)
-def distance_spectrum(spec: CodeSpec, dmax: int = 24):
-    """First-error-event spectrum up to output distance `dmax`.
+def _distance_spectrum_cached(spec: CodeSpec, dmax: int):
+    """Cached worker for `distance_spectrum` (which returns copies).
+
+    First-error-event spectrum up to output distance `dmax`.
 
     Returns (dfree, a, c): `a[d]` = number of paths that diverge from
     the all-zero path and first remerge with output Hamming weight d;
@@ -111,6 +113,15 @@ def distance_spectrum(spec: CodeSpec, dmax: int = 24):
     if not nz:
         raise ValueError(f"no remerging path within dmax={dmax}")
     return nz[0], a, c
+
+
+def distance_spectrum(spec: CodeSpec, dmax: int = 24):
+    """First-error-event spectrum up to output distance `dmax`:
+    (dfree, a, c) — see `_distance_spectrum_cached` for the
+    enumeration.  Returns fresh copies of the cached arrays so caller
+    mutation cannot corrupt later bound computations."""
+    dfree, a, c = _distance_spectrum_cached(spec, dmax)
+    return dfree, a.copy(), c.copy()
 
 
 def qfunc(x: float) -> float:

@@ -12,7 +12,8 @@ the factor ~2 goes, variant by variant, at the serving shape
   v4  fixed 6-iter chain, packed bytes only
 
 For each: profiler device us/call (8 calls) and deep-queue wall
-(32 unique-buffer calls, ring of 8, escalating until >2 s window).
+(escalating until a >2 s window, every call a unique
+(buffer, rotation) pair so the tunnel cannot dedupe).
 """
 import sys
 import time
@@ -49,34 +50,36 @@ def make_q(k):
 
 NBUF = 8
 bufs = [jax.device_put(make_q(k)) for k in jax.random.split(kch, NBUF)]
+#: rotation scalars: deep wall windows cycle (buffer, rotation) pairs so
+#: every execution is unique — a bare 8-buffer ring dedupes past 8 calls
+#: (the bench.py --turbo finding this probe predates).
+rolls = [jax.device_put(jnp.int32(r)) for r in range(B)]
 
-_PACK_W = jnp.asarray((1 << np.arange(8)[::-1]).astype(np.uint8))
-
-
-def _pack(bits):                      # [B, L] uint8 -> [B, L//8] bytes
-    return jnp.sum(bits.reshape(bits.shape[0], -1, 8) * _PACK_W,
-                   axis=-1, dtype=jnp.uint8)
-
-
-@jax.jit
-def v1(q):
-    return lte.lte_turbo_decode_early(q, L)
+from convolutionalencdec_tpu.ops.bits import pack_bits as _pack  # noqa: E402
 
 
 @jax.jit
-def v2(q):
-    bits, _, ok, iters = lte.lte_turbo_decode_early(q, L)
+def v1(q, r):
+    return lte.lte_turbo_decode_early(jnp.roll(q, r, axis=0), L)
+
+
+@jax.jit
+def v2(q, r):
+    bits, _, ok, iters = lte.lte_turbo_decode_early(
+        jnp.roll(q, r, axis=0), L)
     return _pack(bits), ok, iters
 
 
 @jax.jit
-def v3(q):
-    return lte.lte_turbo_decode(q, L, n_iters=6, use_kernel=True)
+def v3(q, r):
+    return lte.lte_turbo_decode(jnp.roll(q, r, axis=0), L, n_iters=6,
+                                use_kernel=True)
 
 
 @jax.jit
-def v4(q):
-    bits, _ = lte.lte_turbo_decode(q, L, n_iters=6, use_kernel=True)
+def v4(q, r):
+    bits, _ = lte.lte_turbo_decode(jnp.roll(q, r, axis=0), L, n_iters=6,
+                                   use_kernel=True)
     return _pack(bits)
 
 
@@ -88,10 +91,10 @@ variants = {"v1_early_full": v1, "v2_early_packed": v2,
             "v3_fixed_full": v3, "v4_fixed_packed": v4}
 
 for name, f in variants.items():
-    first_leaf(f(bufs[0])).block_until_ready()   # compile
+    first_leaf(f(bufs[0], rolls[0])).block_until_ready()   # compile
 
-# sanity: v2 decodes correctly
-pk, ok, it = v2(bufs[0])
+# sanity: v2 decodes correctly (roll 0 = the un-rotated batch)
+pk, ok, it = v2(bufs[0], rolls[0])
 bits_ref = np.unpackbits(np.asarray(pk), axis=1)[:, :L]
 print(f"sanity: accept={np.asarray(ok).mean():.3f} iters={int(it)} "
       f"bler={(bits_ref != msgs).any(1).mean():.4f}", flush=True)
@@ -107,7 +110,7 @@ shutil.rmtree("/tmp/turbo_serve_prof", ignore_errors=True)
 jax.profiler.start_trace("/tmp/turbo_serve_prof")
 for name, f in variants.items():
     for i in range(8):
-        out = f(bufs[i % NBUF])
+        out = f(bufs[i % NBUF], rolls[i])
     first_leaf(out).block_until_ready()
 jax.profiler.stop_trace()
 tf = sorted(glob.glob("/tmp/turbo_serve_prof/**/*.trace.json.gz",
@@ -131,16 +134,16 @@ for name, f in variants.items():
     while True:
         t0 = time.perf_counter()
         for i in range(iters):
-            out = f(bufs[i % NBUF])
+            out = f(bufs[i % NBUF], rolls[(i // NBUF) % B])
         first_leaf(out).block_until_ready()
         dt = time.perf_counter() - t0
-        if dt > 2.0:
+        if dt > 2.0 or iters * 2 > NBUF * B:
             break
         iters *= 2
     for _ in range(2):
         t0 = time.perf_counter()
         for i in range(iters):
-            out = f(bufs[i % NBUF])
+            out = f(bufs[i % NBUF], rolls[(i // NBUF) % B])
         first_leaf(out).block_until_ready()
         dt = min(dt, time.perf_counter() - t0)
     mbps = B * L * iters / dt / 1e6
