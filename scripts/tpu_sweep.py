@@ -497,6 +497,69 @@ def turbo_early_stop():
 check("turbo early termination (CRC-gated)", turbo_early_stop)
 
 
+def turbo_serving_wall():
+    # bench.py --turbo's serving regime at sweep scale: early-term
+    # chain, serving outputs only, every call a unique (buffer,
+    # rotation) pair (ROOFLINE §6 dedup trap).  Gate: >= 400 Mbit/s
+    # wall (measured 591, BENCH_TURBO artifacts; 32% slack rides out
+    # tunnel jitter) with full acceptance and zero false accepts.
+    from convolutionalencdec_tpu.ops import lte
+    from convolutionalencdec_tpu.ops.bits import pack_bits
+    from convolutionalencdec_tpu.ops.crc import CRC24B, crc_append
+    rng = np.random.default_rng(47)
+    B, L = 2048, 1024
+    E = 2 * (L + 4)
+    payload = rng.integers(0, 2, (B, L - 24), dtype=np.uint8)
+    msgs = np.asarray(crc_append(CRC24B, payload))
+    tx = np.asarray(lte.lte_turbo_encode_batch(jnp.asarray(msgs), E))
+    sg = float(np.sqrt(1 / (2 * 10 ** (2.0 / 10) * (L / E))))
+
+    def make_q(seed):
+        y = (1 - 2 * tx.astype(np.float64)) \
+            + sg * np.random.default_rng(seed).standard_normal(tx.shape)
+        return jax.device_put(jnp.asarray(
+            np.clip(np.round(2 * y / sg ** 2), -31, 31).astype(np.int32)))
+
+    NBUF = 8
+    bufs = [make_q(100 + i) for i in range(NBUF)]
+    rolls = [jax.device_put(jnp.int32(r)) for r in range(B)]
+
+    @jax.jit
+    def serve(q, r):
+        bits, _, ok, iters = lte.lte_turbo_decode_early(
+            jnp.roll(q, r, axis=0), L, max_iters=8)
+        return pack_bits(bits), ok, iters
+
+    by, ok, _ = serve(bufs[0], rolls[0])
+    by.block_until_ready()
+    got = np.unpackbits(np.asarray(by), axis=1)[:, :L]
+    ok_np = np.asarray(ok)
+    wrong = (got != msgs).any(1)
+    assert not (ok_np & wrong).any(), "false accept"
+    assert ok_np.all(), f"accept rate {ok_np.mean()} at 2 dB"
+    calls = 8
+    while True:
+        t0 = time.perf_counter()
+        for i in range(calls):
+            out = serve(bufs[i % NBUF], rolls[(i // NBUF) % B])
+        out[0].block_until_ready()
+        dt = time.perf_counter() - t0
+        if dt > 1.5 or calls * 4 > NBUF * B:
+            break
+        calls *= 4
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(calls):
+            out = serve(bufs[i % NBUF], rolls[(i // NBUF) % B])
+        out[0].block_until_ready()
+        dt = min(dt, time.perf_counter() - t0)
+    mbps = B * L * calls / dt / 1e6
+    assert mbps >= 400, f"turbo serving wall regressed: {mbps:.0f} Mbit/s"
+    return (f"early-term serving {mbps:.0f} Mbit/s wall @2dB "
+            f"(B={B}xL={L}, {calls} unique calls; gate >= 400)")
+check("turbo serving throughput (early-term wall)", turbo_serving_wall)
+
+
 def dlsch_tb():
     from convolutionalencdec_tpu.ops import lte
     rng = np.random.default_rng(23)
