@@ -72,6 +72,72 @@ def test_catastrophic_code_rejected():
         distance_spectrum(CodeSpec(K=3, g=(0o6, 0o3)), 10)
 
 
+def _brute_spectrum(spec, max_steps):
+    """Independent enumeration of first-error events through the
+    ENCODER (not the trellis tables the spectrum code uses): walk every
+    input sequence of <= max_steps symbols starting nonzero, keep paths
+    that first return to state 0 exactly at the end, histogram
+    (distance -> count, total input weight)."""
+    from convolutionalencdec_tpu.ops.encode import encode_one_input
+    import collections
+    a = collections.Counter()
+    c = collections.Counter()
+    NE = spec.num_edges_per_state
+
+    def walk(state, steps_left, d, w):
+        for u in range(NE):
+            seg, ns = encode_one_input(spec, state, u)
+            ns, seg = int(ns), int(seg)
+            d2 = d + bin(seg).count("1")
+            w2 = w + bin(u).count("1")
+            if ns == 0:
+                a[d2] += 1
+                c[d2] += w2
+            elif steps_left > 1:
+                walk(ns, steps_left - 1, d2, w2)
+
+    # first symbol nonzero (divergence), then free walk
+    for u in range(1, NE):
+        seg, ns = encode_one_input(spec, 0, u)
+        ns, seg = int(ns), int(seg)
+        d0, w0 = bin(seg).count("1"), bin(u).count("1")
+        if ns == 0:
+            a[d0] += 1
+            c[d0] += w0
+        else:
+            walk(ns, max_steps - 1, d0, w0)
+    return a, c
+
+
+@pytest.mark.parametrize("spec", [
+    TOY_K3,
+    CodeSpec(K=4, g=(0o15, 0o17)),
+    CodeSpec(K=3, g=(0o5, 0o7, 0o7)),
+    CodeSpec(K=3, k=2, g=(0o17, 0o06, 0o13)),
+])
+def test_spectrum_matches_brute_force_enumeration(spec):
+    """Property check against an INDEPENDENT enumeration that goes
+    through the encoder step function rather than the trellis tables:
+    a_d and c_d must agree exactly on every distance whose brute-force
+    count has converged (same at depth M and M+2 — longer paths can no
+    longer contribute below that distance)."""
+    aM, cM = _brute_spectrum(spec, 10)
+    aM2, cM2 = _brute_spectrum(spec, 12)
+    df_brute = min(d for d in sorted(aM2) if aM2[d])
+    # compare only where the brute count converged between depths AND
+    # close to dfree (paths longer than 12 steps cannot reach these
+    # distances for such short codes)
+    stable = [d for d in sorted(aM2)
+              if d <= df_brute + 5
+              and aM.get(d) == aM2[d] and cM.get(d) == cM2[d]]
+    dfree, a, c = distance_spectrum(spec, max(stable))
+    assert dfree == df_brute
+    assert len(stable) >= 3          # meaningful comparison range
+    for d in stable:
+        assert int(a[d]) == aM2[d], (d, int(a[d]), aM2[d])
+        assert int(c[d]) == cM2[d], (d, int(c[d]), cM2[d])
+
+
 def test_bounds_upper_bound_measured_hard():
     """The hard bound must sit ABOVE the measured kernel BER
     (RESULTS.md Eb/N0 table) and converge toward it with SNR."""
