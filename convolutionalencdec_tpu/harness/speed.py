@@ -63,6 +63,7 @@ def _steady_loop(call, bufs, rolls, bits_per_call: int, seconds: float,
     meter = ThroughputMeter()
     deadline = time.perf_counter() + seconds
     pool = NBUF * len(rolls)
+    q = max(1, min(q, pool))       # small configs: shrink the window
     i = 0
     while time.perf_counter() < deadline and i + q <= pool:
         for _ in range(q):
