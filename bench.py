@@ -7,9 +7,19 @@ of independent channels resident in HBM and the decoder is the Pallas
 butterfly kernel; the baseline to beat is the reference's measured
 ~23.5 Mbit/s single-core decode rate (BASELINE.md).
 
+Measurement integrity: the dispatch tunnel DEDUPES identical executions
+(docs/ROOFLINE.md §6), so every timed call carries a distinct int32 TAG
+that is echoed through the jitted function's output — any correct cache
+must key on it, making every execution unique by argument content at
+zero compute cost (measured: 0.419 ms/call tagged == 0.419 untagged;
+a jnp.roll uniquifier cost 3%).  The monotonic (buffer, tag) pair index
+runs across ALL windows (escalation + best-of-3) and is capped at the
+pool size, so no window can ever re-execute a pair.
+
 Prints ONE JSON line:
   {"metric": "decode_throughput", "value": N, "unit": "Mbit/s",
    "vs_baseline": N / 23.5}
+`--turbo` runs the turbo serving bench instead (second metric line).
 """
 
 import json
@@ -32,12 +42,48 @@ BASELINE_MBPS = 23.5  # reference speedDecode on 1 vCPU (BASELINE.md)
 # 6-iteration max-log decode at L=1024 on this box (g++ -O2).
 TURBO_BASELINE_MBPS = 1.0
 
+NBUF = 8
+
+
+def _first(out):
+    return jax.tree_util.tree_leaves(out)[0]
+
+
+def _bestof_pairs(call, pool: int, window_target: float):
+    """Escalating best-of-3 deep-queue wall timing over a MONOTONIC
+    unique-pair index: window w times calls [start, start+iters) with
+    start advancing across escalation and best-of windows alike, capped
+    at `pool` unique pairs.  Returns (best_dt_seconds, iters)."""
+    iters = 2
+    used = 0
+    while True:
+        t0 = time.perf_counter()
+        for i in range(used, used + iters):
+            out = call(i)
+        _first(out).block_until_ready()
+        dt = time.perf_counter() - t0
+        used += iters
+        # escalate while the window is shallow AND the next window plus
+        # its two best-of repeats still fit in the unique pool
+        if dt > window_target or used + 12 * iters > pool:
+            break
+        iters *= 4
+    for _ in range(2):
+        if used + iters > pool:
+            break
+        t0 = time.perf_counter()
+        for i in range(used, used + iters):
+            out = call(i)
+        _first(out).block_until_ready()
+        used += iters
+        dt = min(dt, time.perf_counter() - t0)
+    return dt, iters
+
 
 def turbo_main():
-    """Steady-state turbo serving bench (the bench.py methodology —
-    deep dispatch queue, unique-input buffer ring — applied to the
-    production receive chain, closing the wall-vs-device gap
-    CURVES_EARLYTERM_r04 showed at 37-49%).
+    """Steady-state turbo serving bench (the deep-queue unique-execution
+    methodology applied to the production receive chain, closing the
+    wall-vs-device gap CURVES_EARLYTERM_r04 showed at 37-49%).
 
     Serving point: B=2048 blocks x L=1024 (CRC24B payloads), rate-1/2
     at 2.0 dB, `lte_turbo_decode_early` (CRC-gated while_loop) with
@@ -46,9 +92,10 @@ def turbo_main():
     {"metric": "turbo_decode_throughput", ...} in decoded message
     Mbit/s of wall time.
     """
-    from convolutionalencdec_tpu.harness.curve import awgn
     from convolutionalencdec_tpu.ops import lte
-    from convolutionalencdec_tpu.ops.channel import bpsk_llr, bpsk_modulate
+    from convolutionalencdec_tpu.ops.bits import pack_bits
+    from convolutionalencdec_tpu.ops.channel import (awgn, bpsk_llr,
+                                                     bpsk_modulate)
     from convolutionalencdec_tpu.ops.crc import CRC24B, crc_append
     from convolutionalencdec_tpu.ops.metrics import quantize_llrs
 
@@ -66,25 +113,16 @@ def turbo_main():
         return quantize_llrs(bpsk_llr(rx, EBN0, rate),
                              qmax=31).astype(jnp.int32)
 
-    NBUF = 8
     bufs = [jax.device_put(make_q(k)) for k in jax.random.split(kch, NBUF)]
-    # Every call gets a UNIQUE (buffer, rotation) pair: the tunnel
-    # dedupes identical executions (docs/ROOFLINE.md §6), and a ring
-    # alone is not enough at deep call counts — with 2048 calls over 8
-    # buffers the measured wall dropped BELOW the profiler device
-    # truth (3.55 vs 3.86 ms/call), the dedup signature.  The rotation
-    # is a device-side [B, E] gather, ~40 us against a ~3.9 ms call.
-    rolls = [jax.device_put(jnp.int32(r)) for r in range(B)]
-
-    from convolutionalencdec_tpu.ops.bits import pack_bits
+    tags = [jax.device_put(jnp.int32(t)) for t in range(B)]
+    pool = NBUF * len(tags)
 
     @jax.jit
-    def serve(q, r):
-        q = jnp.roll(q, r, axis=0)
+    def serve(q, tag):
         bits, _, ok, iters = lte.lte_turbo_decode_early(q, L)
-        return pack_bits(bits), ok, iters
+        return pack_bits(bits), ok, iters, tag + 1   # tag echo: see top
 
-    by, ok, iters = serve(bufs[0], rolls[0])
+    by, ok, iters, _ = serve(bufs[0], tags[0])
     by.block_until_ready()
     got = np.unpackbits(np.asarray(by), axis=1)[:, :L]
     ok_np = np.asarray(ok)
@@ -92,31 +130,15 @@ def turbo_main():
     assert not (ok_np & wrong).any(), "false accept in bench"
     assert ok_np.mean() > 0.99, f"accept rate {ok_np.mean()} at 2 dB"
 
-    iters_n = 2
-    while True:
-        t0 = time.perf_counter()
-        for i in range(iters_n):
-            out = serve(bufs[i % NBUF], rolls[(i // NBUF) % B])
-        out[0].block_until_ready()
-        dt = time.perf_counter() - t0
-        # never escalate past the unique (buffer, rotation) pool —
-        # beyond NBUF * B pairs executions repeat and the tunnel's
-        # dedup would inflate the metric
-        if dt > 3.0 or iters_n * 4 > NBUF * B:
-            break
-        iters_n *= 4
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for i in range(iters_n):
-            out = serve(bufs[i % NBUF], rolls[(i // NBUF) % B])
-        out[0].block_until_ready()
-        dt = min(dt, time.perf_counter() - t0)
+    dt, iters_n = _bestof_pairs(
+        lambda i: serve(bufs[i % NBUF], tags[(i // NBUF) % len(tags)]),
+        pool, window_target=3.0)
 
     if "--profile" in sys.argv:
         trace_dir = "/tmp/fec_turbo_trace"
         jax.profiler.start_trace(trace_dir)
         for i in range(8):
-            out = serve(bufs[i % NBUF], rolls[i])
+            out = serve(bufs[i % NBUF], tags[i])
         out[0].block_until_ready()
         jax.profiler.stop_trace()
         print(f"profiler trace written to {trace_dir}", file=sys.stderr)
@@ -147,19 +169,19 @@ def main():
     coded = np.asarray(fec.encode_bits(spec, msgs)[0]).copy()
     flip = rng.random(coded.shape) < 0.03
     coded ^= (flip * rng.integers(1, 4, coded.shape)).astype(np.uint8)
-    # Pre-stage a ring of DISTINCT input buffers (row-rotations of the
-    # working set) and cycle through them: the axon tunnel dedupes
-    # identical executions (docs/ROOFLINE.md §6), so timing one buffer
-    # in a loop risks measuring cache hits.  The current number was
-    # cross-checked against profiler device truth (~397 us/call byte
-    # path ≈ the 411 us/call this wall implies), but unique inputs make
-    # the methodology robust by construction.  Same bytes decoded per
-    # call either way.
-    NBUF = 8
+    # NBUF distinct buffers (row-rotations) x B echoed tags = the
+    # unique-execution pool (see module docstring); same bytes decoded
+    # per call either way.
     coded_dev = jax.device_put(jnp.asarray(coded))
     bufs = [coded_dev] + [
         jax.device_put(jnp.asarray(np.roll(coded, r + 1, axis=0)))
         for r in range(NBUF - 1)]
+    # 3B tags: deep enough for ~3.4 s windows (8192 calls) plus their
+    # two best-of repeats without ever reusing a (buffer, tag) pair —
+    # window RAMP (queue refill after each sync) costs ~2% at 1 s
+    # windows, amortized away at full depth.
+    tags = [jax.device_put(jnp.int32(t)) for t in range(3 * B)]
+    pool = NBUF * len(tags)
 
     if on_tpu:
         # Decode to PACKED BYTES — the reference's speedDecode times
@@ -168,12 +190,14 @@ def main():
         # format is also the fastest (MSb-first in-kernel emit).
         from convolutionalencdec_tpu.kernels import (
             viterbi_decode_batch_bytes)
-        decode = lambda c: viterbi_decode_batch_bytes(spec, c)  # noqa: E731
+        base = lambda c: viterbi_decode_batch_bytes(spec, c)  # noqa: E731
     else:
-        decode = jax.jit(jax.vmap(lambda c: fec.viterbi_decode(spec, c)))
+        base = jax.jit(jax.vmap(lambda c: fec.viterbi_decode(spec, c)))
+
+    decode = jax.jit(lambda c, tag: (base(c), tag + 1))
 
     # Warm-up / compile (first TPU compile ~20-40 s).
-    out = decode(coded_dev)
+    out, _ = decode(coded_dev, tags[0])
     out.block_until_ready()
     # At 3% segment corruption a small residual BER survives (correctly);
     # a broken decoder is off by orders of magnitude.
@@ -183,27 +207,11 @@ def main():
     ber = float((got != msgs).mean())
     assert ber < 2e-3, f"decode BER {ber} implausibly high in bench"
 
-    # Steady state: keep the dispatch queue deep so per-call overhead
-    # overlaps device compute (the realistic continuous-serving regime).
-    iters = 2
-    while True:
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = decode(bufs[i % NBUF])
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        if dt > 3.0:
-            break
-        iters *= 4
-    # Best of 3 windows: transient host-side contention (the tunnel
-    # dispatch shares the box) can stall the enqueue loop; the best
-    # window is the steady-state device rate.
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = decode(bufs[i % NBUF])
-        out.block_until_ready()
-        dt = min(dt, time.perf_counter() - t0)
+    # Steady state: deep dispatch queue so per-call overhead overlaps
+    # device compute (the realistic continuous-serving regime).
+    dt, iters = _bestof_pairs(
+        lambda i: decode(bufs[i % NBUF], tags[(i // NBUF) % len(tags)]),
+        pool, window_target=3.0)
 
     if "--profile" in sys.argv:
         # jax.profiler trace of the steady-state loop + analytic HBM
@@ -212,8 +220,8 @@ def main():
         trace_dir = "/tmp/fec_trace"
         jax.profiler.start_trace(trace_dir)
         for i in range(8):
-            out = decode(bufs[i % NBUF])
-        out.block_until_ready()
+            out = decode(bufs[i % NBUF], tags[i])
+        _first(out).block_until_ready()
         jax.profiler.stop_trace()
         print(traffic_report(spec, B, L + spec.S), file=sys.stderr)
         print(f"profiler trace written to {trace_dir} "

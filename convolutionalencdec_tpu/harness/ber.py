@@ -68,8 +68,8 @@ class BerPointResult:
 
 def _default_decoder(spec: CodeSpec):
     """Batched decoder: the Pallas kernel on TPU, vmapped scan elsewhere."""
-    if (jax.default_backend() == "tpu" and spec.k == 1
-            and spec.has_poly_symmetry):
+    from ..kernels import tpu_kernels_default
+    if tpu_kernels_default(spec):
         from ..kernels import viterbi_decode_batch
         return functools.partial(viterbi_decode_batch, spec)
     return jax.jit(jax.vmap(functools.partial(viterbi_decode, spec)))

@@ -63,8 +63,8 @@ def run_curve(spec: CodeSpec = NASA_K7, ebn0_points=None, *,
     if ebn0_points is None:
         ebn0_points = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     if use_kernels is None:
-        use_kernels = (jax.default_backend() == "tpu" and spec.k == 1
-                       and spec.has_poly_symmetry)
+        from ..kernels import tpu_kernels_default
+        use_kernels = tpu_kernels_default(spec)
     results = []
     for ebn0 in ebn0_points:
         key = jax.random.PRNGKey(seed)

@@ -38,9 +38,9 @@ from ..utils.telemetry import ThroughputMeter, describe
 NBUF = 8
 
 
-def _decoder(spec: CodeSpec, batch: int):
-    if (jax.default_backend() == "tpu" and spec.k == 1
-            and spec.has_poly_symmetry):
+def _decoder(spec: CodeSpec):
+    from ..kernels import tpu_kernels_default
+    if tpu_kernels_default(spec):
         from ..kernels import viterbi_decode_batch
         return functools.partial(viterbi_decode_batch, spec)
     return jax.jit(jax.vmap(functools.partial(viterbi_decode, spec)))
@@ -105,7 +105,7 @@ def bench_decode(spec: CodeSpec = NASA_K7, *, batch: int = 1024,
         np.uint8)
     bufs = _ring(coded)
     rolls = [jax.device_put(jnp.int32(r)) for r in range(batch)]
-    base = _decoder(spec, batch)
+    base = _decoder(spec)
     decode = jax.jit(lambda c, r: base(jnp.roll(c, r, axis=0)))
     decode(bufs[0], rolls[0]).block_until_ready()  # compile
     return _steady_loop(decode, bufs, rolls, batch * packet_bits,

@@ -5,7 +5,19 @@ hot loops (viterbiDecoderButterflyk1.c): the batched butterfly ACS forward
 pass and the one-hot select-network traceback.
 """
 
-from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel
+def tpu_kernels_default(spec) -> bool:
+    """True when the TPU batch kernels are the right DEFAULT for this
+    spec on the current backend (harnesses use the vmapped scan
+    otherwise).  The single source of the selection predicate — the
+    speed/BER/curve harnesses all consult it.  Note
+    `viterbi_decode_batch` itself accepts ANY CodeSpec; this gates
+    only the harnesses' kernel-vs-scan default."""
+    import jax
+    return (jax.default_backend() == "tpu" and spec.k == 1
+            and spec.has_poly_symmetry)
+
+
+from .maxlogmap_pallas import maxlogmap_llrs_batch_kernel  # noqa: E402
 from .turbo_pallas import (rsc_maxlogmap_batch_kernel,
                            turbo_decode_batch_kernel,
                            turbo_kernel_supported)

@@ -57,11 +57,16 @@ NCOLS = 32
 
 
 @functools.lru_cache(maxsize=None)
-def lte_qpp(L: int) -> np.ndarray:
-    """The standard interleaver for block size L (must be in the table)."""
+def _lte_qpp_cached(L: int) -> np.ndarray:
     if L not in QPP_TABLE:
         raise ValueError(f"L={L} is not an LTE turbo block size")
     return qpp_interleaver(L)
+
+
+def lte_qpp(L: int) -> np.ndarray:
+    """The standard interleaver for block size L (must be in the table).
+    Returns a fresh copy — caller mutation must not corrupt the cache."""
+    return _lte_qpp_cached(L).copy()
 
 
 # ---------------------------------------------------------------------------
@@ -166,16 +171,9 @@ def _turbo_w_map(D: int, F: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def turbo_ratematch_indices(D: int, E: int, rv: int = 0,
-                            Ncb: int | None = None,
-                            F: int = 0) -> np.ndarray:
-    """Bit-selection source indices for one turbo-coded block.
-
-    Returns int32 [E]: flat source indices (stream*D + k) of the
-    transmitted bits, in transmission order — the §5.1.4.1.2 loop
-    (start at k0 = R*(2*ceil(Ncb/(8R))*rv + 2), wrap modulo Ncb, skip
-    <NULL>s) evaluated once in NumPy.
-    """
+def _turbo_ratematch_indices_cached(D: int, E: int, rv: int,
+                                    Ncb: int | None,
+                                    F: int) -> np.ndarray:
     R = -(-D // NCOLS)
     KP = R * NCOLS
     Kw = 3 * KP
@@ -189,6 +187,20 @@ def turbo_ratematch_indices(D: int, E: int, rv: int = 0,
         raise ValueError("soft buffer holds no transmittable bits")
     reps = -(-E // sel.size)
     return np.tile(sel, reps)[:E].astype(np.int32)
+
+
+def turbo_ratematch_indices(D: int, E: int, rv: int = 0,
+                            Ncb: int | None = None,
+                            F: int = 0) -> np.ndarray:
+    """Bit-selection source indices for one turbo-coded block.
+
+    Returns int32 [E]: flat source indices (stream*D + k) of the
+    transmitted bits, in transmission order — the §5.1.4.1.2 loop
+    (start at k0 = R*(2*ceil(Ncb/(8R))*rv + 2), wrap modulo Ncb, skip
+    <NULL>s) evaluated once in NumPy.  Returns a fresh copy of the
+    cached map so caller mutation cannot corrupt later rate matching.
+    """
+    return _turbo_ratematch_indices_cached(D, E, rv, Ncb, F).copy()
 
 
 def rate_match_turbo(d, E: int, rv: int = 0, Ncb: int | None = None,
