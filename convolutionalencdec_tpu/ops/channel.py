@@ -39,8 +39,12 @@ def bsc_segments(key, segments, n: int, p):
     bits, the reference's codedSegments layout)."""
     segments = jnp.asarray(segments, jnp.uint8)
     flips = jax.random.uniform(key, segments.shape + (n,)) < p
+    # sum with an explicit uint8 accumulator: jnp.sum would promote to
+    # uint32 and the XOR would widen the whole result off the packed
+    # codedSegments contract
     mask = jnp.sum(
-        flips.astype(jnp.uint8) << jnp.arange(n, dtype=jnp.uint8), axis=-1)
+        flips.astype(jnp.uint8) << jnp.arange(n, dtype=jnp.uint8), axis=-1,
+        dtype=jnp.uint8)
     return segments ^ mask
 
 

@@ -107,7 +107,10 @@ def decode_flush(spec: CodeSpec, state: DecoderState,
     """Terminate the packet: flush the undecoded window from state 0's
     register, dropping the S pad steps (viterbiDecoder.c:194-231).
 
-    Returns uint8 [W - 1 - S] symbols (oldest first)."""
+    Returns uint8 [W - 1 - S] symbols (oldest first).  When fewer than
+    W - 1 steps were ever consumed, the LEADING (W - 1 - count) entries
+    are register-init filler, not data — the stateful wrappers trim
+    them (`max(0, W - 1 - count)`); raw callers must do the same."""
     W = traceback_len or spec.traceback_len
     return state.registers[0, spec.S:W - 1][::-1]
 
@@ -183,9 +186,14 @@ class StreamingDecoder:
             # The termination symbols are the last S steps consumed, so
             # they sit inside the final W-1 window; decode_flush excludes
             # them and the streamed portion above never reaches them.
+            # Short packets (count < W - 1): the window's oldest entries
+            # are register-init filler, trimmed by consumed-step count so
+            # exactly count - S message symbols come out in total.
             flush = np.asarray(decode_flush(self.spec, self._state,
                                             self.traceback_len))
-            out = np.concatenate([out, flush])
+            garbage = max(0, self.traceback_len - 1
+                          - int(self._state.count))
+            out = np.concatenate([out, flush[garbage:]])
             self.reset()
         return _symbols_to_bits(self.spec, out)
 
@@ -346,6 +354,10 @@ class StreamingDecoderBatch:
             raise ValueError(
                 "the last=True chunk must contain the packet's final "
                 "segments (see StreamingDecoder docstring)")
+        if T == 0:
+            # empty non-last chunk: nothing to decode (the scalar class
+            # accepts this, so the batch class must too)
+            return np.zeros((self.batch, 0), np.uint8)
         Tk = (T // CHUNK_F) * CHUNK_F if self.use_kernel else 0
         parts = []
         if Tk:
@@ -358,8 +370,12 @@ class StreamingDecoderBatch:
         self._count += T
         out = sym[:, idx >= (W - 1)]
         if last:
+            # see StreamingDecoder.decode: trim register-init filler for
+            # short packets (count < W - 1)
             flush = np.asarray(self._registers[:, 0, self.spec.S:W - 1])
-            out = np.concatenate([out, flush[:, ::-1]], axis=1)
+            garbage = max(0, (W - 1) - self._count)
+            out = np.concatenate([out, flush[:, ::-1][:, garbage:]],
+                                 axis=1)
             self.reset()
         return _symbols_to_bits_batch(self.spec, out)
 

@@ -38,9 +38,27 @@ from ..params import CodeSpec
 from ..ops.trellis import butterfly_coded_bits
 from ..ops.viterbi import init_metric_value
 
-#: Default warm-up/warm-down length in trellis steps.  4x the reference's
-#: TRACEBACK_LEN = 5K rule of thumb (viterbiDecoder.h:19) for margin.
+#: Default warm-up/warm-down length in trellis steps — comfortably above
+#: the 5K-step survivor merge distance (TRACEBACK_LEN, viterbiDecoder.h:19;
+#: 35 for K=7, so ~3.7x margin here; the kernel variant uses 144).
 DEFAULT_WARMUP = 128
+
+
+def _halo_extend(seg_local, W: int, ntb: int):
+    """Overlap-save halo exchange over the "tb" mesh axis: prepend the
+    previous block's last W steps and append the next block's first W
+    (zero context at the outer edges).  THE single copy of the ppermute
+    block — both the scan and kernel sharded decoders use it."""
+    if ntb > 1:
+        left = jax.lax.ppermute(
+            seg_local[:, -W:], "tb",
+            perm=[(j, j + 1) for j in range(ntb - 1)])
+        right = jax.lax.ppermute(
+            seg_local[:, :W], "tb",
+            perm=[(j + 1, j) for j in range(ntb - 1)])
+        return jnp.concatenate([left, seg_local, right], axis=1)
+    z = jnp.zeros((seg_local.shape[0], W), seg_local.dtype)
+    return jnp.concatenate([z, seg_local, z], axis=1)
 
 
 def make_mesh(n_channel_shards: int, n_time_shards: int = 1,
@@ -140,6 +158,13 @@ def decode_sharded(spec: CodeSpec, segments, mesh: Mesh,
     if B % nch or T % ntb:
         raise ValueError(f"B={B} %{nch} or T={T} %{ntb} not shardable")
     W = warmup
+    if W > T // ntb:
+        # Halos only reach ONE neighbor; a local block shorter than the
+        # warm-up would silently clamp the halo slices and desync the
+        # valid-mask boundaries (decoding garbage with no error).
+        raise ValueError(
+            f"warmup {W} exceeds the local block ({T // ntb} steps) — "
+            f"use fewer time shards or a shorter warmup")
     NS = spec.num_states
     init_hi = init_metric_value(spec)
 
@@ -149,17 +174,7 @@ def decode_sharded(spec: CodeSpec, segments, mesh: Mesh,
         Tl = seg_local.shape[1]
         # Halo exchange over ICI: left warm-up context from the previous
         # time block, right warm-down context from the next.
-        if ntb > 1:
-            left = jax.lax.ppermute(
-                seg_local[:, -W:], "tb",
-                perm=[(j, j + 1) for j in range(ntb - 1)])
-            right = jax.lax.ppermute(
-                seg_local[:, :W], "tb",
-                perm=[(j + 1, j) for j in range(ntb - 1)])
-            ext = jnp.concatenate([left, seg_local, right], axis=1)
-        else:
-            z = jnp.zeros((seg_local.shape[0], W), seg_local.dtype)
-            ext = jnp.concatenate([z, seg_local, z], axis=1)
+        ext = _halo_extend(seg_local, W, ntb)
         t_idx = jnp.arange(ext.shape[1])
         # Device 0 has no real left context: mask those steps to identity
         # so its initial metrics survive to the true packet start; the last
@@ -331,7 +346,7 @@ def decode_sharded_kernel(spec: CodeSpec, segments, mesh: Mesh,
     """
     from ..kernels.acs_pallas import (
         CHUNK_F, PACK, B_TILE, acs_forward_batch_fused,
-        traceback_batch_fused_masked, _group_masks)
+        traceback_batch_fused_masked)
     from ..kernels import acs_swar
 
     spec.validate_for_butterfly()
@@ -343,8 +358,11 @@ def decode_sharded_kernel(spec: CodeSpec, segments, mesh: Mesh,
     nch = mesh.shape["ch"]
     ntb = mesh.shape["tb"]
     W = warmup
-    if W % CHUNK_F or W < spec.S:
+    if W % CHUNK_F:
         raise ValueError(f"warmup {W} must be a multiple of {CHUNK_F}")
+    if W < spec.S:
+        raise ValueError(f"warmup {W} must cover the S={spec.S} "
+                         f"termination steps")
     if B % nch:
         raise ValueError(f"B={B} not divisible by ch={nch}")
     if T % ntb or (T // ntb) % CHUNK_F:
@@ -361,17 +379,7 @@ def decode_sharded_kernel(spec: CodeSpec, segments, mesh: Mesh,
     def shard_fn(seg_local):                     # (B/nch, Tl)
         i = jax.lax.axis_index("tb")
         last = ntb - 1
-        if ntb > 1:
-            left = jax.lax.ppermute(
-                seg_local[:, -W:], "tb",
-                perm=[(j, j + 1) for j in range(ntb - 1)])
-            right = jax.lax.ppermute(
-                seg_local[:, :W], "tb",
-                perm=[(j + 1, j) for j in range(ntb - 1)])
-            ext = jnp.concatenate([left, seg_local, right], axis=1)
-        else:
-            z = jnp.zeros((seg_local.shape[0], W), seg_local.dtype)
-            ext = jnp.concatenate([z, seg_local, z], axis=1)
+        ext = _halo_extend(seg_local, W, ntb)
         Bl, Te = ext.shape                       # Te = 2W + Tl, % CHUNK_F == 0
         # Device 0: exact initial metrics once its zero left halo is done.
         init_chunk = jnp.where(i == 0, W // CHUNK_F, -1)

@@ -143,3 +143,15 @@ def test_tbcc_crc_receiver_sharded():
         spec, crc, q, 4, None, True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(rok))
+
+
+def test_sharded_decode_rejects_short_local_blocks():
+    """Local time blocks shorter than the warm-up must raise instead of
+    silently decoding garbage (halos reach only one neighbor)."""
+    import pytest
+    from convolutionalencdec_tpu.parallel import decode_sharded, make_mesh
+    spec = NASA_K7
+    mesh = make_mesh(1, 8)
+    segs = np.zeros((8, 512), np.uint8)       # Tl = 64 < W = 128
+    with pytest.raises(ValueError, match="warmup"):
+        decode_sharded(spec, segs, mesh)

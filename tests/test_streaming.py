@@ -321,3 +321,51 @@ def test_block_streaming_rejects_tiny_lookahead():
         BlockStreamingDecoderBatch(fec.NASA_K7, batch=4, lookahead=0)
     with pytest.raises(ValueError, match="lookahead"):
         BlockStreamingDecoderBatch(fec.NASA_K7, batch=4, lookahead=6)
+
+
+def test_streaming_decoder_short_packet_exact_length():
+    """Packets shorter than the traceback window must decode to EXACTLY
+    their message length (the flush trims register-init filler by
+    consumed-step count — W-1-S fixed-length emission was a bug)."""
+    spec = NASA_K7                     # W = 35, S = 6
+    rng = np.random.default_rng(53)
+    dec = StreamingDecoder(spec)
+    for L in (1, 5, 10, 28, 29, 40):   # spans count < and > W-1
+        msg = rng.integers(0, 2, L, dtype=np.uint8)
+        coded = np.asarray(encode_bits(spec, msg)[0])
+        out = dec.decode(coded, last=True)
+        assert out.shape == (L,), (L, out.shape)
+        np.testing.assert_array_equal(out, msg)
+    # chunked short packet: same answer across a chunk seam
+    msg = rng.integers(0, 2, 12, dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msg)[0])
+    out = np.concatenate([dec.decode(coded[:7]),
+                          dec.decode(coded[7:], last=True)])
+    np.testing.assert_array_equal(out, msg)
+
+
+def test_streaming_batch_short_packet_and_empty_chunk():
+    """Batch twin of the short-packet law, plus: an empty NON-last chunk
+    must be a no-op (the scalar class accepts it; the batch class
+    crashed on np.concatenate([]))."""
+    from convolutionalencdec_tpu.ops.streaming import StreamingDecoderBatch
+    spec = NASA_K7
+    rng = np.random.default_rng(59)
+    B, L = 3, 10
+    msgs = rng.integers(0, 2, (B, L), dtype=np.uint8)
+    coded = np.asarray(encode_bits(spec, msgs)[0])
+    dec = StreamingDecoderBatch(spec, batch=B)
+    empty = dec.decode(np.zeros((B, 0), np.uint8))
+    assert empty.shape == (B, 0)
+    out = dec.decode(coded, last=True)
+    assert out.shape == (B, L)
+    np.testing.assert_array_equal(out, msgs)
+
+
+def test_bsc_segments_preserves_uint8():
+    import jax
+    from convolutionalencdec_tpu.ops.channel import bsc_segments
+    segs = np.random.default_rng(0).integers(0, 4, (4, 64), np.uint8)
+    out = bsc_segments(jax.random.PRNGKey(0), segs, 2, 0.1)
+    assert out.dtype == np.uint8, out.dtype
+    assert out.shape == segs.shape
