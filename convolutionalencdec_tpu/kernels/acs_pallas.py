@@ -452,6 +452,15 @@ def _fwd_soft_kernel(spec: CodeSpec, nt: int):
     return kernel
 
 
+def _as_int8_qllrs(q):
+    """int8 channel LLRs floored at -127: the soft kernels build relu
+    cost planes as int8 MXU rows, and max(-(-128), 0) = 128 would WRAP
+    to -128 (a -256 metric error).  -128 is out of the quantizer
+    contract (|q| <= qmax <= 127) and saturates to -127 here instead of
+    silently corrupting metrics."""
+    return jnp.maximum(jnp.asarray(q, jnp.int8), jnp.int8(-127))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def acs_forward_batch_soft(spec: CodeSpec, qllrs, interpret: bool = False):
     """Soft forward ACS over a batch.
@@ -465,7 +474,7 @@ def acs_forward_batch_soft(spec: CodeSpec, qllrs, interpret: bool = False):
     spec.validate_for_butterfly()
     NS = spec.num_states
     n = spec.n
-    qllrs = jnp.asarray(qllrs, jnp.int8)
+    qllrs = _as_int8_qllrs(qllrs)
     B, T, n_ = qllrs.shape
     assert n_ == n
     if T % CHUNK or B % B_TILE:
@@ -517,7 +526,7 @@ def viterbi_decode_batch_soft(spec: CodeSpec, qllrs,
       uint8 [B, L] decoded message bits (L = T - S by default).
     """
     spec.validate_for_butterfly()
-    qllrs = jnp.asarray(qllrs, jnp.int8)
+    qllrs = _as_int8_qllrs(qllrs)
     B, T, n = qllrs.shape
     L = message_bits if message_bits is not None else T - spec.S
     if qmax is None:
@@ -1111,7 +1120,7 @@ def acs_forward_batch_fused_soft(spec: CodeSpec, qllrs,
     n = spec.n
     if NS < 64:
         raise ValueError("fused kernel requires >= 64 states")
-    qllrs = jnp.asarray(qllrs, jnp.int8)
+    qllrs = _as_int8_qllrs(qllrs)
     B, T, n_ = qllrs.shape
     assert n_ == n
     if T % CHUNK_F or B % B_TILE:
@@ -1503,7 +1512,7 @@ def stream_decode_batch_soft(spec: CodeSpec, qllrs, state,
     W = traceback_len or spec.traceback_len
     if not 2 <= W <= 64:
         raise ValueError(f"traceback_len {W} outside [2, 64]")
-    qllrs = jnp.asarray(qllrs, jnp.int8)
+    qllrs = _as_int8_qllrs(qllrs)
     B, T, n = qllrs.shape
     if T % CHUNK_F or B % B_TILE:
         raise ValueError(f"padded shapes required: T={T} %{CHUNK_F}, "
@@ -1587,7 +1596,7 @@ def viterbi_decode_batch_soft_bytes(spec: CodeSpec, qllrs,
     Returns uint8 [B, ceil(L/8)].
     """
     spec.validate_for_butterfly()
-    qllrs = jnp.asarray(qllrs, jnp.int8)
+    qllrs = _as_int8_qllrs(qllrs)
     B, T, n = qllrs.shape
     L = message_bits if message_bits is not None else T - spec.S
     if qmax is None:
@@ -1635,12 +1644,14 @@ def viterbi_decode_batch_punctured(spec: CodeSpec, rx_bits, pattern,
     Returns:
       uint8 [B, L] decoded message bits.
     """
+    from ..ops.puncture import check_pattern_rows
+    check_pattern_rows(spec, pattern)
     from ..ops.metrics import hard_bits_to_qllrs
     from ..ops.puncture import depuncture_llrs
     B = rx_bits.shape[0]
     q = hard_bits_to_qllrs(jnp.asarray(rx_bits))
     full = depuncture_llrs(q, pattern, T)
-    qllrs = full.reshape(B, T, spec.n).astype(jnp.int8)
+    qllrs = _as_int8_qllrs(full.reshape(B, T, spec.n))
     return viterbi_decode_batch_soft(spec, qllrs, message_bits,
                                      interpret, qmax=1)
 
@@ -1661,9 +1672,11 @@ def viterbi_decode_batch_punctured_soft(spec: CodeSpec, qllrs, pattern,
     Returns:
       uint8 [B, L] decoded message bits.
     """
+    from ..ops.puncture import check_pattern_rows
+    check_pattern_rows(spec, pattern)
     from ..ops.puncture import depuncture_llrs
     B = qllrs.shape[0]
-    full = depuncture_llrs(jnp.asarray(qllrs, jnp.int8), pattern, T)
+    full = depuncture_llrs(_as_int8_qllrs(qllrs), pattern, T)
     return viterbi_decode_batch_soft(spec,
                                      full.reshape(B, T, spec.n),
                                      message_bits, interpret, qmax)
@@ -1750,7 +1763,7 @@ def viterbi_decode_batch_soft_bytes_ragged(spec: CodeSpec, qllrs,
     (ops/metrics.viterbi_decode_ragged_soft).  Returns uint8
     [B, ceil((Tmax - S)*k / 8)].
     """
-    qllrs = jnp.asarray(qllrs, jnp.int8)
+    qllrs = _as_int8_qllrs(qllrs)
     B, T, _ = qllrs.shape
     lens = jnp.asarray(seg_lengths, jnp.int32)
     nbytes = ((T - spec.S) * spec.k + 7) // 8

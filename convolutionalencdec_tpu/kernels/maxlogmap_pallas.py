@@ -311,8 +311,11 @@ def maxlogmap_llrs_batch_kernel(spec: CodeSpec, qllrs,
     if not maxlogmap_supported(spec):
         raise ValueError("max-log-MAP kernels require k=1, NS >= 64, "
                          "poly symmetry (use ops/maxlogmap for the rest)")
-    qllrs = jnp.asarray(qllrs, jnp.int8)
+    from .acs_pallas import _as_int8_qllrs
+    qllrs = _as_int8_qllrs(qllrs)       # -128 would wrap the relu planes
     B, T, n = qllrs.shape
+    if n != spec.n:
+        raise ValueError(f"qllrs last dim {n} != spec.n {spec.n}")
     NS = spec.num_states
     Bp = -(-B // B_TILE) * B_TILE
     Tp = -(-T // CHUNK_M) * CHUNK_M

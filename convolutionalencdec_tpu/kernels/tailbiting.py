@@ -123,7 +123,7 @@ def _hard_wrap_forward(spec: CodeSpec, segments, wrap,
     """Hard wrap-decode core: two-sided circular extend, uniform-start
     forward, argmin-start traceback.  Returns (rows [TG, Bp] uint8,
     Bp, wl)."""
-    B, T = segments.shape
+    T = segments.shape[1]
     wl, wr = kernel_wraps(spec, T, wrap)
     ext = circular_extend(segments, wl, wr, axis=-1)
     decs, fmp, Bp, swar = _fwd_dispatch_hard(spec, ext, interpret)
@@ -140,7 +140,7 @@ def _hard_wrap_forward(spec: CodeSpec, segments, wrap,
 def _soft_wrap_forward(spec: CodeSpec, qllrs, wrap, qmax: int,
                        interpret: bool, msb_first: bool):
     """Soft wrap-decode core — the soft twin of `_hard_wrap_forward`."""
-    B, T, _ = qllrs.shape
+    T = qllrs.shape[1]
     wl, wr = kernel_wraps(spec, T, wrap)
     ext = circular_extend(qllrs, wl, wr, axis=-2)
     decs, fmp, Bp, swar, wide = _fwd_dispatch_soft(spec, ext, qmax,
@@ -457,15 +457,19 @@ def viterbi_decode_batch_tailbiting_soft(spec: CodeSpec, qllrs,
         (T = L trellis steps for k=1; zero = erasure, so depunctured
         streams ride through unchanged).
       wrap: circular wrap length in trellis steps (see `kernel_wraps`).
-      qmax: LLR magnitude bound used for dispatch (default
-        ops.metrics.DEFAULT_QMAX); |q| <= 7 rides the SWAR-8 fields,
+      qmax: quantizer magnitude bound of `qllrs` — a CONTRACT, not a
+        hint (default ops.metrics.DEFAULT_QMAX = 7): the SWAR-8 path
+        (taken when qmax <= 7) CLIPS inputs to ±qmax, so LLRs
+        quantized with a larger bound must pass their own qmax or the
+        clip silently degrades them; |q| <= 7 rides the SWAR-8 fields,
         any int8 the SWAR-16 fields.
     Returns:
       uint8 [B, T] decoded message bits.
 
     Bit-exact vs `ops.tailbiting.viterbi_decode_tailbiting_soft` with
     `wrap=kernel_wraps(spec, T, wrap)` wherever survivor paths merge
-    within the wrap (the scan and kernel paths share tie conventions).
+    within the wrap (the scan and kernel paths share tie conventions),
+    PROVIDED the input honors the `qmax` bound.
     """
     _check_wrap_spec(spec, "_soft")
     qllrs = jnp.asarray(qllrs, jnp.int8)

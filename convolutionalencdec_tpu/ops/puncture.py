@@ -36,8 +36,20 @@ def _pattern_array(pattern) -> np.ndarray:
     return pat
 
 
+def check_pattern_rows(spec: CodeSpec, pattern) -> None:
+    """A pattern's row count must equal the code's n: a mismatched
+    pattern would build a keep-mask over the wrong stream width and
+    silently select bits from the wrong (step, generator) pairs."""
+    pat = _pattern_array(pattern)
+    if pat.shape[0] != spec.n:
+        raise ValueError(
+            f"puncture pattern has {pat.shape[0]} rows but the code "
+            f"emits n={spec.n} bits per step")
+
+
 def punctured_rate(spec: CodeSpec, pattern) -> float:
     """Effective code rate after puncturing."""
+    check_pattern_rows(spec, pattern)
     pat = _pattern_array(pattern)
     return (spec.k * pat.shape[1]) / int(pat.sum())
 

@@ -58,7 +58,7 @@ def tail_state(spec: CodeSpec, bits) -> jnp.ndarray:
 def default_wrap(spec: CodeSpec) -> int:
     """Default circular wrap length in trellis steps: comfortably past the
     ~5K survivor-merge rule (viterbiDecoder.c:53-74)."""
-    return max(spec.S, 6 * spec.K)
+    return 6 * spec.K          # always > S = K - 1
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -203,6 +203,10 @@ def viterbi_decode_tailbiting_list(spec: CodeSpec, segments,
       (uint8 [list_size, T*k] candidate message bits,
        int32 [list_size] candidate final metrics, ascending).
     """
+    if not 1 <= list_size <= spec.num_states:
+        raise ValueError(f"list_size {list_size} must be in "
+                         f"[1, num_states={spec.num_states}] — there is "
+                         f"one candidate per trellis end state")
     segments = jnp.asarray(segments, jnp.uint8)
     T = segments.shape[-1]
     wl = default_wrap(spec) if wrap is None else int(wrap)
@@ -222,6 +226,9 @@ def viterbi_decode_tailbiting_list_soft(spec: CodeSpec, qllrs,
                                         list_size: int = 4, wrap=None):
     """Soft-decision twin of `viterbi_decode_tailbiting_list` (quantized
     LLRs in, `list_size` candidates out; `wrap` is the LEFT wrap)."""
+    if not 1 <= list_size <= spec.num_states:
+        raise ValueError(f"list_size {list_size} must be in "
+                         f"[1, num_states={spec.num_states}]")
     qllrs = jnp.asarray(qllrs, jnp.int32)
     T = qllrs.shape[-2]
     wl = default_wrap(spec) if wrap is None else int(wrap)
@@ -237,6 +244,14 @@ def viterbi_decode_tailbiting_exact(spec: CodeSpec, segments):
     """ML tail-biting decode (test oracle): the best circular path over
     all num_states constrained (start == end) Viterbi passes."""
     segments = jnp.asarray(segments, jnp.uint8)
+    T = segments.shape[-1]
+    if T * spec.n >= (1 << 20):
+        # the exclusion constant must dominate any real path metric, or
+        # an unconstrained big-seeded path could undercut a true
+        # circular one and the "exact ML" guarantee silently breaks
+        raise ValueError(
+            f"packet too long for the exact oracle: T*n = {T * spec.n} "
+            f">= 2^20 exclusion scale (use the wrap decoder)")
     bm = hard_step_metrics(spec, segments)
     NS = spec.num_states
     big = jnp.int32(1) << 20        # > any real path metric (n per step)

@@ -158,3 +158,27 @@ def test_maxlogmap_decode_unterminated_keeps_all_bits():
     out = np.asarray(maxlogmap_decode(NASA_K7, q, terminated=False))
     assert out.shape == (96,)
     np.testing.assert_array_equal(out, msgs)   # clean channel
+
+
+def test_kernel_rejects_wrong_plane_count():
+    import pytest
+    from convolutionalencdec_tpu.kernels import maxlogmap_llrs_batch_kernel
+    q = np.zeros((2, 48, 4), np.int8)          # spec.n == 2
+    with pytest.raises(ValueError, match="last dim"):
+        maxlogmap_llrs_batch_kernel(NASA_K7, q, interpret=True)
+
+
+def test_int8_minus128_saturates_not_wraps():
+    """q = -128 is out of the quantizer contract; the kernels floor it
+    to -127 (saturating metric) instead of wrapping the relu plane."""
+    from convolutionalencdec_tpu.kernels import maxlogmap_llrs_batch_kernel
+    from convolutionalencdec_tpu.ops.maxlogmap import maxlogmap_llrs
+    rng = np.random.default_rng(3)
+    q = rng.integers(-7, 8, (1, 48, 2)).astype(np.int8)
+    q[0, 5, 0] = -128
+    got = np.asarray(maxlogmap_llrs_batch_kernel(NASA_K7, q,
+                                                 interpret=True))[0]
+    want = np.asarray(maxlogmap_llrs(
+        NASA_K7, np.maximum(q[0].astype(np.int32), -127)))
+    L = 48 - NASA_K7.S       # message bits; termination steps saturate
+    np.testing.assert_array_equal(got[:L], want[:L])

@@ -173,3 +173,15 @@ def test_batch_punctured_one_call(pattern):
         spec, rx_llr.astype(np.int8), pattern, T, interpret=True,
         qmax=1))
     np.testing.assert_array_equal(got_s, got)
+
+
+def test_pattern_row_count_validated():
+    import pytest
+    from convolutionalencdec_tpu.ops.puncture import (
+        PUNCTURE_2_3, check_pattern_rows, punctured_rate)
+    from convolutionalencdec_tpu.params import LTE_TBCC_K7, NASA_K7
+    check_pattern_rows(NASA_K7, PUNCTURE_2_3)          # n=2: fine
+    with pytest.raises(ValueError, match="rows"):
+        check_pattern_rows(LTE_TBCC_K7, PUNCTURE_2_3)  # n=3: mismatch
+    with pytest.raises(ValueError, match="rows"):
+        punctured_rate(LTE_TBCC_K7, PUNCTURE_2_3)

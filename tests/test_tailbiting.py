@@ -224,3 +224,24 @@ def test_kernel_tailbiting_soft_bytes_matches_bits():
         NASA_K7, q, interpret=True))
     padded = np.pad(bits, ((0, 0), (0, (-L) % 8)))
     np.testing.assert_array_equal(got, np.asarray(pack_bits(padded)))
+
+
+def test_list_size_validated_scan_twins():
+    import pytest
+    from convolutionalencdec_tpu.ops.tailbiting import (
+        viterbi_decode_tailbiting_list, viterbi_decode_tailbiting_list_soft)
+    segs = np.zeros((48,), np.uint8)
+    with pytest.raises(ValueError, match="list_size"):
+        viterbi_decode_tailbiting_list(NASA_K7, segs, list_size=100)
+    q = np.zeros((48, 2), np.int32)
+    with pytest.raises(ValueError, match="list_size"):
+        viterbi_decode_tailbiting_list_soft(NASA_K7, q, list_size=0)
+
+
+def test_exact_oracle_rejects_oversized_packets():
+    import pytest
+    from convolutionalencdec_tpu.ops.tailbiting import (
+        viterbi_decode_tailbiting_exact)
+    segs = np.zeros((1 << 19,), np.uint8)      # T*n = 2^20: at the bound
+    with pytest.raises(ValueError, match="exclusion"):
+        viterbi_decode_tailbiting_exact(NASA_K7, segs)
