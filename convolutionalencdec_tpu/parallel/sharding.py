@@ -234,7 +234,7 @@ def decode_sharded_batch(spec: CodeSpec, segments, mesh: Mesh,
 
     Args:
       segments: hard: uint8 [B, T]; soft: int8 [B, T, n] quantized LLRs.
-      mesh: any mesh from `make_mesh`; B must divide by its total size.
+      mesh: any mesh from `make_mesh`; B must be divisible by its total size.
     Returns:
       uint8 [B, T - S] decoded message bits.
     """
